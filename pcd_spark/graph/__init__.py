@@ -1,0 +1,10 @@
+from pcd_spark.graph.partition import partition_edges, degrees  # noqa: F401
+from pcd_spark.graph.edges import (  # noqa: F401
+    read_snap_edges,
+    symmetrize,
+    canonical_undirected,
+)
+from pcd_spark.graph.pagerank import pagerank  # noqa: F401
+from pcd_spark.graph.cc import connected_components  # noqa: F401
+from pcd_spark.graph.lpa import label_propagation  # noqa: F401
+from pcd_spark.graph.triangles import triangle_counts  # noqa: F401

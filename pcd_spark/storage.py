@@ -1,0 +1,147 @@
+"""Checkpoint / lineage storage adapter (SURVEY.md §2 A4, §4.2, §7.1).
+
+BASELINE.json:6 requires "per-partition lineage and convergence metrics
+checkpointed to Iceberg so any run resumes mid-iteration". No Iceberg runtime
+jar exists in this sandbox (SURVEY §0.4), so the adapter emulates the needed
+Iceberg semantics locally:
+
+  - snapshot per iteration  → one Parquet dir per checkpointed superstep
+  - manifest + lineage      → JSON manifest per snapshot (atomic rename commit)
+  - snapshot log            → manifests are append-only; `latest()` reads them
+
+In prod the same call sites write ``df.writeTo(table).overwritePartitions()``
+against a real catalog; only this module changes (config-only swap).
+
+The checkpoint cycle is also the engine's lineage-truncation mechanism for
+iterative loops (write → re-read breaks the 50-iteration plan chain,
+SURVEY §4.3) — durability and planner health in one mechanism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_PREFIX = "manifest-iter"
+
+
+@dataclass
+class Manifest:
+    run_id: str
+    algo: str
+    iteration: int
+    partition_rows: dict[str, int]  # partition id -> row count (lineage)
+    state_sha: str | None
+    delta_metric: float
+    ts: str
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        return Manifest(**json.loads(s))
+
+
+def _state_sha(df: DataFrame) -> str:
+    """Order-insensitive integrity hash: xor-free sum of per-row sha prefixes.
+
+    Distributed (one agg, no collect of rows): per row take the first 16 hex
+    chars of sha2 over the concatenated columns, sum as decimal — stable
+    across partitionings and row order.
+    """
+    row_h = F.conv(
+        F.substring(F.sha2(F.concat_ws("\x1f", *df.columns), 256), 1, 15),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    v = df.select(F.sum(row_h).alias("h")).first()["h"]
+    return hashlib.sha256(str(v).encode()).hexdigest()
+
+
+class CheckpointStore:
+    """One store per (run_id, algo). Layout:
+
+    base/run_id/algo/iter=NNNNN/          state parquet (snapshot)
+    base/run_id/algo/manifest-iterNNNNN.json   committed manifest
+    """
+
+    def __init__(
+        self,
+        base_dir: str,
+        algo: str,
+        run_id: str | None = None,
+        integrity: bool = True,
+    ):
+        self.base = base_dir
+        self.algo = algo
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.integrity = integrity
+        self.dir = os.path.join(self.base, self.run_id, self.algo)
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- write path ---------------------------------------------------------
+
+    def checkpoint(
+        self, iteration: int, state: DataFrame, delta_metric: float
+    ) -> DataFrame:
+        """Snapshot state, commit manifest, return the re-read DataFrame
+        (lineage truncated). Atomic: manifest rename is the commit point —
+        a partial parquet dir without a manifest is invisible to resume."""
+        path = os.path.join(self.dir, f"iter={iteration:05d}")
+        state.write.mode("overwrite").parquet(path)
+        reread = state.sparkSession.read.parquet(path)
+
+        part_col = "part" if "part" in state.columns else None
+        if part_col:
+            rows = {
+                str(r[part_col]): r["n"]
+                for r in reread.groupBy(part_col).agg(F.count("*").alias("n")).collect()
+            }
+        else:
+            rows = {"0": reread.count()}
+
+        m = Manifest(
+            run_id=self.run_id,
+            algo=self.algo,
+            iteration=iteration,
+            partition_rows=rows,
+            state_sha=_state_sha(reread) if self.integrity else None,
+            delta_metric=float(delta_metric),
+            ts=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        )
+        tmp = os.path.join(self.dir, f".tmp-{iteration:05d}.json")
+        final = os.path.join(self.dir, f"{MANIFEST_PREFIX}{iteration:05d}.json")
+        with open(tmp, "w") as f:
+            f.write(m.to_json())
+        os.replace(tmp, final)  # atomic commit
+        return reread
+
+    # -- read / resume path --------------------------------------------------
+
+    def manifests(self) -> list[Manifest]:
+        out = []
+        for name in sorted(os.listdir(self.dir)):
+            if name.startswith(MANIFEST_PREFIX) and name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    out.append(Manifest.from_json(f.read()))
+        return out
+
+    def latest(self) -> Manifest | None:
+        ms = self.manifests()
+        return ms[-1] if ms else None
+
+    def read_state(self, spark: SparkSession, iteration: int) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self.dir, f"iter={iteration:05d}")
+        )
+
+    def metrics_lineage(self) -> list[tuple[int, float]]:
+        return [(m.iteration, m.delta_metric) for m in self.manifests()]

@@ -1,0 +1,126 @@
+"""Golden tests for the graph suite vs pinned oracles (SURVEY.md §5.3.2).
+
+PageRank -> networkx (allclose 1e-6, BASELINE.json:6)
+CC       -> networkx connected_components, exact min-vid ids
+LPA      -> pinned numpy oracle, exact labels
+Triangles-> networkx triangles, exact per-vertex
+"""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from pcd_spark.graph import (
+    pagerank,
+    connected_components,
+    label_propagation,
+    triangle_counts,
+    read_snap_edges,
+)
+from pcd_spark.oracle import lpa_numpy, pagerank_numpy
+from tests.conftest import edges_df
+
+
+def _nx_graph(g, directed: bool):
+    G = nx.DiGraph() if directed else nx.Graph()
+    G.add_nodes_from(range(g["n"]))
+    G.add_edges_from(g["edges"])
+    return G
+
+
+# ---------- PageRank ---------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["karate", "directed_toy", "er_200", "two_cliques"])
+def test_pagerank_matches_networkx(spark, graphs, name):
+    g = graphs[name]
+    df = edges_df(spark, g["edges"])
+    if not g["directed"]:
+        # undirected pagerank == directed on symmetrized edges (nx semantics)
+        rev = df.selectExpr("dst as src", "src as dst")
+        df = df.unionByName(rev)
+    got = {r["vid"]: r["rank"] for r in pagerank(df, tol=1e-8).collect()}
+    dir_edges = (
+        g["edges"]
+        if g["directed"]
+        else g["edges"] + [(v, u) for u, v in g["edges"]]
+    )
+    want = pagerank_numpy(g["n"], np.array(dir_edges), tol=1e-14)
+    # engine only emits vertices with >=1 edge
+    np.testing.assert_allclose(
+        [got[v] for v in sorted(got)], [want[v] for v in sorted(got)], atol=1e-6
+    )
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_sum_is_one_with_dangling(spark, graphs):
+    g = graphs["directed_toy"]
+    got = pagerank(edges_df(spark, g["edges"]), tol=1e-10).collect()
+    assert abs(sum(r["rank"] for r in got) - 1.0) < 1e-9
+
+
+# ---------- Connected components ---------------------------------------------
+
+@pytest.mark.parametrize("name", ["path_100", "er_200", "two_cliques_split", "two_cliques"])
+def test_cc_exact_min_vid(spark, graphs, name):
+    g = graphs[name]
+    got = {
+        r["vid"]: r["component"]
+        for r in connected_components(edges_df(spark, g["edges"])).collect()
+    }
+    G = _nx_graph(g, False)
+    want = {}
+    for comp in nx.connected_components(G):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    # engine only sees vertices with >=1 edge; isolated vertices are the
+    # caller's concern (vertex dictionary outer-join)
+    want = {v: c for v, c in want.items() if G.degree(v) > 0}
+    assert got == want
+
+
+# ---------- Label propagation -------------------------------------------------
+
+@pytest.mark.parametrize("name", ["karate", "two_cliques", "cycle_9", "er_200"])
+def test_lpa_matches_pinned_numpy_oracle(spark, graphs, name):
+    g = graphs[name]
+    got = {
+        r["vid"]: r["label"]
+        for r in label_propagation(edges_df(spark, g["edges"]), max_iter=30).collect()
+    }
+    labels, _ = lpa_numpy(g["n"], np.array(g["edges"]), max_iter=30)
+    G = _nx_graph(g, False)
+    want = {v: int(labels[v]) for v in range(g["n"]) if G.degree(v) > 0}
+    assert got == want
+
+
+def test_lpa_two_cliques_yields_two_communities(spark, graphs):
+    g = graphs["two_cliques"]
+    got = label_propagation(edges_df(spark, g["edges"]), max_iter=30).collect()
+    comm = {}
+    for r in got:
+        comm.setdefault(r["label"], set()).add(r["vid"])
+    assert len(comm) == 2
+    sizes = sorted(len(s) for s in comm.values())
+    assert sizes == [10, 10]
+
+
+# ---------- Triangles ----------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["karate", "er_200", "two_cliques"])
+def test_triangles_match_networkx(spark, graphs, name):
+    g = graphs[name]
+    got = {r["vid"]: r["tri"] for r in triangle_counts(edges_df(spark, g["edges"])).collect()}
+    want = nx.triangles(_nx_graph(g, False))
+    want = {v: c for v, c in want.items() if v in got}
+    assert got == want
+
+
+# ---------- SNAP reader ---------------------------------------------------------
+
+def test_snap_reader_roundtrip(spark, graphs, snap_dir):
+    df = read_snap_edges(spark, f"{snap_dir}/karate.txt")
+    got = sorted((r["src"], r["dst"]) for r in df.collect())
+    assert got == sorted(graphs["karate"]["edges"])
