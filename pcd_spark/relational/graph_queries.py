@@ -1,0 +1,178 @@
+"""Graph-algorithm queries over the driver's relational tables.
+
+The graph suite's queries() entries derive graphs from the sf tables so the
+driver can run them at any scale factor:
+
+  - bipartite customer–supplier graph: src = o_custkey,
+    dst = 100000 + l_suppkey, from lineitem ⋈ orders (distinct pairs)
+  - part co-occurrence graph: undirected edge between two parts appearing in
+    the same order (has triangles; the bipartite graph provably has none)
+
+SQL oracles: degrees and triangles are fully ANSI-SQL-expressible (CTE
+mirror of the oriented-wedge algorithm); connected components gets an exact
+recursive-CTE oracle on a bounded subgraph. PageRank/LPA are iterative-
+to-convergence and not SQL-expressible — rows-only check (the pinned numpy
+oracles cover their exactness in pytest instead; SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pcd_spark.graph import (
+    pagerank,
+    connected_components,
+    label_propagation,
+    triangle_counts,
+)
+from pcd_spark.relational.queries import load
+
+REGISTRY: dict = {}
+
+
+def g(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = {"spark": fn, "sql": sql}
+        return fn
+    return deco
+
+
+SUPPLIER_OFFSET = 100000
+
+
+def cust_supp_edges(spark, sf):
+    li, o = load(spark, sf, "lineitem"), load(spark, sf, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_CS_EDGES_SQL = f"""
+  SELECT DISTINCT o_custkey AS src, {SUPPLIER_OFFSET} + l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def part_cooccurrence_edges(spark, sf):
+    """Undirected canonical edges between parts co-ordered in one order."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+_PART_EDGES_SQL = """
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+@g(
+    "k1_degrees",
+    f"""WITH edges AS ({_CS_EDGES_SQL}),
+        sym AS (SELECT src, dst FROM edges
+                UNION ALL SELECT dst AS src, src AS dst FROM edges)
+        SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src""",
+)
+def k1(spark, sf):
+    e = cust_supp_edges(spark, sf)
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+
+
+@g(
+    "k6_triangles",
+    f"""WITH canon AS ({_PART_EDGES_SQL}),
+        both_dir AS (SELECT src, dst FROM canon
+                     UNION ALL SELECT dst, src FROM canon),
+        deg AS (SELECT src AS vid, COUNT(*) AS d FROM both_dir GROUP BY src),
+        oriented AS (
+          SELECT CASE WHEN (ds.d, c.src) < (dd.d, c.dst) THEN c.src ELSE c.dst END AS u,
+                 CASE WHEN (ds.d, c.src) < (dd.d, c.dst) THEN c.dst ELSE c.src END AS v
+          FROM canon c
+          JOIN deg ds ON ds.vid = c.src
+          JOIN deg dd ON dd.vid = c.dst),
+        tris AS (
+          SELECT w1.u AS a, w1.v AS b, w2.v AS c
+          FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u AND w1.v <> w2.v
+          JOIN oriented e ON e.u = w1.v AND e.v = w2.v),
+        per_v AS (
+          SELECT vid, COUNT(*) AS tri FROM (
+            SELECT a AS vid FROM tris UNION ALL
+            SELECT b FROM tris UNION ALL SELECT c FROM tris)
+          GROUP BY vid),
+        verts AS (SELECT DISTINCT src AS vid FROM both_dir)
+        SELECT verts.vid, COALESCE(per_v.tri, 0) AS tri
+        FROM verts LEFT JOIN per_v ON verts.vid = per_v.vid""",
+)
+def k6(spark, sf):
+    return triangle_counts(part_cooccurrence_edges(spark, sf))
+
+
+@g(
+    "k4_connected_components",
+    f"""WITH RECURSIVE
+        edges AS (SELECT src, dst FROM ({_CS_EDGES_SQL}) WHERE src < 500),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        verts AS (SELECT DISTINCT src AS vid FROM sym),
+        reach(v, u) AS (
+          SELECT vid, vid FROM verts
+          UNION
+          SELECT r.v, e.dst FROM reach r JOIN sym e ON e.src = r.u)
+        SELECT v AS vid, MIN(u) AS component FROM reach GROUP BY v""",
+)
+def k4(spark, sf):
+    e = cust_supp_edges(spark, sf).filter(F.col("src") < 500)
+    return connected_components(e).select("vid", "component")
+
+
+@g("k3_pagerank_top20", None)  # iterative; exactness covered by numpy oracle in pytest
+def k3(spark, sf):
+    e = cust_supp_edges(spark, sf)
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(sym, tol=1e-8)
+    return (
+        pr.select("vid", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("vid"))
+        .limit(20)
+    )
+
+
+@g("k5_lpa_community_sizes", None)  # iterative; exactness covered in pytest
+def k5(spark, sf):
+    e = cust_supp_edges(spark, sf)
+    labels = label_propagation(e, max_iter=20)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), F.asc("label"))
+        .limit(50)
+    )
+
+
+@g("k8_corpus_pipeline", None)  # corpus is synthesized, not an sf table
+def k8(spark, sf):
+    """Full K8 slice: synth corpus -> sha -> edges -> PageRank -> top files."""
+    from pcd_spark.corpus import synth_corpus, derive_edges
+
+    corpus = synth_corpus(spark, repos=20, files_per_repo=50, seed=42)
+    verts, edges = derive_edges(corpus)
+    pr = pagerank(edges, weight_col="weight", tol=1e-8)
+    return (
+        pr.join(verts, "vid")
+        .select("repo", "path", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("repo"), F.asc("path"))
+        .limit(25)
+    )

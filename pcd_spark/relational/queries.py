@@ -1,0 +1,727 @@
+"""Relational operator surface — SURVEY.md §2 B–H, one query per operator row.
+
+Every entry is a (PySpark DataFrame program, equivalent DuckDB ANSI SQL) pair;
+the driver hash-compares their outputs at sf=0.01 (order-insensitive, columns
+sorted by name), so every computed column is aliased IDENTICALLY on both
+sides, doubles from order-dependent aggregations are rounded on both sides,
+and no nondeterministic function appears anywhere.
+
+Spark-first notes per query are inline: what Catalyst does for free
+(pushdown/pruning/broadcast), and where an explicit hint is load-bearing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+REGISTRY: dict = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = {"spark": fn, "sql": sql}
+        return fn
+    return deco
+
+
+# =========================================================================
+# B. projections / filters / predicates
+# =========================================================================
+
+@q(
+    "b1_project_cast",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(l_quantity AS INT) AS qty_int,
+              l_returnflag AS flag
+       FROM lineitem""",
+)
+def b1(spark, sf):
+    # column pruning: the parquet scan reads only 4 of 11 columns
+    return load(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+@q(
+    "b2_filter_range",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+       WHERE l_quantity BETWEEN 10 AND 20
+         AND l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_discount <> 0.0""",
+)
+def b2(spark, sf):
+    # all three predicates push down to the parquet row-group stats
+    li = load(spark, sf, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") != 0.0)
+    ).select("l_orderkey", "l_linenumber")
+
+
+@q(
+    "b3_filter_in_null_like",
+    """SELECT c_custkey FROM customer
+       WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+         AND c_name LIKE '%5%'
+         AND c_acctbal IS NOT NULL""",
+)
+def b3(spark, sf):
+    c = load(spark, sf, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+        & F.col("c_name").like("%5%")
+        & F.col("c_acctbal").isNotNull()
+    ).select("c_custkey")
+
+
+@q(
+    "b4_bool_combinators",
+    """SELECT p_partkey FROM part
+       WHERE (p_size < 10 OR p_type LIKE '%BRASS%') AND NOT p_brand = 'Brand#33'""",
+)
+def b4(spark, sf):
+    p = load(spark, sf, "part")
+    return p.filter(
+        ((F.col("p_size") < 10) | F.col("p_type").like("%BRASS%"))
+        & ~(F.col("p_brand") == "Brand#33")
+    ).select("p_partkey")
+
+
+@q(
+    "b5_conditional_projection",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice > 200000 THEN 'big'
+                   WHEN o_totalprice > 50000 THEN 'mid'
+                   ELSE 'small' END AS bucket,
+              COALESCE(NULLIF(o_orderstatus, 'O'), 'open?') AS status_note
+       FROM orders""",
+)
+def b5(spark, sf):
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open?")
+        ).alias("status_note"),
+    )
+
+
+# =========================================================================
+# C. joins
+# =========================================================================
+
+@q(
+    "c1_join_inner_agg",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+              ROUND(SUM(o_totalprice), 2) AS total
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def c1(spark, sf):
+    o, c = load(spark, sf, "orders"), load(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@q(
+    "c2_join_broadcast_dims",
+    """SELECT r_name, COUNT(*) AS n_customers
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name""",
+)
+def c2(spark, sf):
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    # explicit broadcast: dims are tiny; avoids shuffling the fact side —
+    # at 100 TB this is the difference between a map-side join and a disaster
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@q(
+    "c3_join_shuffle_hash_hint",
+    """SELECT o_orderpriority, COUNT(*) AS n
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY o_orderpriority""",
+)
+def c3(spark, sf):
+    # big-big join: SHUFFLE_HASH hint skips the SMJ sort (plan-invariant result)
+    o, li = load(spark, sf, "orders"), load(spark, sf, "lineitem")
+    return (
+        o.hint("shuffle_hash")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "c4_join_left_outer",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey""",
+)
+def c4(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@q(
+    "c5_join_left_semi",
+    """SELECT c_custkey FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""",
+)
+def c5(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return c.join(
+        o.filter(F.col("o_totalprice") > 100000),
+        c.c_custkey == o.o_custkey,
+        "left_semi",
+    ).select("c_custkey")
+
+
+@q(
+    "c6_join_left_anti",
+    """SELECT c_custkey FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+)
+def c6(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "c7_self_join_theta",
+    """SELECT a.s_suppkey AS s1, b.s_suppkey AS s2
+       FROM supplier a JOIN supplier b
+         ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey""",
+)
+def c7(spark, sf):
+    s = load(spark, sf, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(F.col("a.s_suppkey").alias("s1"), F.col("b.s_suppkey").alias("s2"))
+
+
+@q(
+    "c8_range_join",
+    """SELECT a.event_id AS eid, COUNT(*) AS n_following
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+       GROUP BY a.event_id""",
+)
+def c8(spark, sf):
+    e = load(spark, sf, "events")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy(F.col("a.event_id").alias("eid"))
+        .agg(F.count("*").alias("n_following"))
+    )
+
+
+@q(
+    "c9_asof_join",
+    """SELECT e.event_id, o.o_orderkey AS last_order
+       FROM events e ASOF JOIN orders o
+         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+)
+def c9(spark, sf):
+    # as-of = latest order at-or-before the event; expressed as candidate
+    # join + deterministic argmax window (ties on o_orderdate -> max orderkey
+    # mirrors DuckDB's ASOF which keeps one row; we pin the same tiebreak)
+    e, o = load(spark, sf, "events"), load(spark, sf, "orders")
+    cand = e.join(
+        o,
+        (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", F.col("o_orderkey").alias("last_order"))
+    )
+
+
+# =========================================================================
+# D. aggregations
+# =========================================================================
+
+@q(
+    "d1_groupby_agg",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              ROUND(AVG(l_quantity), 4) AS avg_qty,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def d1(spark, sf):
+    # TPC-H Q1 shape: partial aggregation (map-side combine) is automatic
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "d2_global_agg",
+    """SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total,
+              ROUND(MIN(l_quantity), 2) AS min_q, ROUND(MAX(l_quantity), 2) AS max_q
+       FROM lineitem""",
+)
+def d2(spark, sf):
+    return load(spark, sf, "lineitem").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        F.round(F.min("l_quantity"), 2).alias("min_q"),
+        F.round(F.max("l_quantity"), 2).alias("max_q"),
+    )
+
+
+@q(
+    "d3_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def d3(spark, sf):
+    return load(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@q(
+    "d4_count_distinct",
+    """SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_segments,
+              COUNT(*) AS n_customers
+       FROM customer GROUP BY c_nationkey""",
+)
+def d4(spark, sf):
+    return (
+        load(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@q(
+    "d6_deterministic_argmax",
+    """SELECT o_custkey, o_orderpriority AS top_priority FROM (
+         SELECT o_custkey, o_orderpriority,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+         FROM orders GROUP BY o_custkey, o_orderpriority
+       ) WHERE rn = 1""",
+)
+def d6(spark, sf):
+    # the LPA argmax pattern (D6) on relational data: most frequent value,
+    # ties -> smallest — via min(struct(-cnt, value)), one hash agg, no window
+    o = load(spark, sf, "orders")
+    counts = o.groupBy("o_custkey", "o_orderpriority").agg(F.count("*").alias("cnt"))
+    return (
+        counts.groupBy("o_custkey")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("o_orderpriority"))).alias("m"))
+        .select("o_custkey", F.col("m.o_orderpriority").alias("top_priority"))
+    )
+
+
+@q(
+    "d9_rollup",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              ROUND(SUM(o_totalprice), 2) AS total
+       FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+)
+def d9(spark, sf):
+    return (
+        load(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@q(
+    "d9b_cube",
+    """SELECT lang, source, COUNT(*) AS n
+       FROM documents GROUP BY CUBE(lang, source)""",
+)
+def d9b(spark, sf):
+    return (
+        load(spark, sf, "documents")
+        .cube("lang", "source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =========================================================================
+# E. window functions
+# =========================================================================
+
+@q(
+    "e1_rownum_latest",
+    """SELECT o_custkey, o_orderkey AS latest_order FROM (
+         SELECT o_custkey, o_orderkey,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         FROM orders) WHERE rn = 1""",
+)
+def e1(spark, sf):
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("latest_order"))
+    )
+
+
+@q(
+    "e2_dense_rank",
+    """SELECT o_orderkey, o_orderstatus,
+              DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS drk
+       FROM orders WHERE o_totalprice > 300000""",
+)
+def e2(spark, sf):
+    o = load(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select("o_orderkey", "o_orderstatus", F.dense_rank().over(w).alias("drk"))
+
+
+@q(
+    "e3_topk_per_group",
+    """SELECT o_custkey, o_orderkey, rnk FROM (
+         SELECT o_custkey, o_orderkey,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+         FROM orders) WHERE rnk <= 3""",
+)
+def e3(spark, sf):
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@q(
+    "e4_lag_delta",
+    """SELECT event_id,
+              ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id), 4) AS delta
+       FROM events""",
+)
+def e4(spark, sf):
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@q(
+    "e5_moving_avg",
+    """SELECT event_id,
+              ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+       FROM events""",
+)
+def e5(spark, sf):
+    e = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select("event_id", F.round(F.avg("value").over(w), 4).alias("mavg"))
+
+
+@q(
+    "e6_ntile_percent_rank",
+    """SELECT o_orderkey,
+              NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+              ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS prk
+       FROM orders""",
+)
+def e6(spark, sf):
+    o = load(spark, sf, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+    )
+
+
+# =========================================================================
+# F. sorts / limits / top-k
+# =========================================================================
+
+@q(
+    "f3_global_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""",
+)
+def f3(spark, sf):
+    # orderBy+limit compiles to TakeOrderedAndProject — no global sort
+    return (
+        load(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# =========================================================================
+# G. set operations
+# =========================================================================
+
+@q(
+    "g1_union",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       UNION
+       SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000""",
+)
+def g1(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.unionByName(b).distinct()
+
+
+@q(
+    "g2_intersect",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       INTERSECT
+       SELECT o_custkey AS c_custkey FROM orders""",
+)
+def g2(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .intersect(o.select(F.col("o_custkey").alias("c_custkey")))
+    )
+
+
+@q(
+    "g3_except",
+    """SELECT c_custkey FROM customer
+       EXCEPT
+       SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def g3(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return c.select("c_custkey").exceptAll(
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    ).distinct()
+
+
+# =========================================================================
+# H. scalar functions
+# =========================================================================
+
+@q(
+    "h1_sha256",
+    "SELECT doc_id, sha256(text) AS content_sha FROM documents",
+)
+def h1(spark, sf):
+    # THE per-row invariant (BASELINE.json:15)
+    return load(spark, sf, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
+    )
+
+
+@q(
+    "h2_regexp_extract_all",
+    """SELECT doc_id, UNNEST(regexp_extract_all(text, '([a-z]{6,})')) AS word
+       FROM documents""",
+)
+def h2(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"([a-z]{6,})"), F.lit(1))
+        ).alias("word"),
+    )
+
+
+@q(
+    "h3_string_basics",
+    """SELECT doc_id,
+              UPPER(SUBSTR(text, 1, 10)) AS head,
+              LENGTH(text) AS len,
+              CONCAT(lang, ':', source) AS tag,
+              REPLACE(SUBSTR(text, 1, 20), ' ', '_') AS snake
+       FROM documents""",
+)
+def h3(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head"),
+        F.length("text").alias("len"),
+        F.concat_ws(":", "lang", "source").alias("tag"),
+        F.replace(F.substring("text", 1, 20), F.lit(" "), F.lit("_")).alias("snake"),
+    )
+
+
+@q(
+    "h5_date_functions",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+              YEAR(o_orderdate) AS yr, COUNT(*) AS n
+       FROM orders GROUP BY ALL""",
+)
+def h5(spark, sf):
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "h6_math",
+    """SELECT l_orderkey, l_linenumber,
+              ROUND(LN(l_extendedprice), 6) AS ln_price,
+              ROUND(POW(l_discount, 2), 6) AS disc_sq,
+              ABS(l_quantity - 25) AS q_dev,
+              GREATEST(l_tax, l_discount) AS max_rate
+       FROM lineitem""",
+)
+def h6(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("q_dev"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+    )
+
+
+@q(
+    "h7_array_functions",
+    """SELECT vec_id, LEN(embedding) AS dim,
+              ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+              ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val
+       FROM embeddings""",
+)
+def h7(spark, sf):
+    e = load(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+    )
+
+
+@q(
+    "h8_higher_order_dot",
+    """SELECT vec_id,
+              ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[])), 4) AS norm_sq
+       FROM embeddings""",
+)
+def h8(spark, sf):
+    e = load(spark, sf, "embeddings")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select("vec_id", F.round(dot, 4).alias("norm_sq"))
+
+
+@q(
+    "h10_json",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+       FROM events""",
+)
+def h10(spark, sf):
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )

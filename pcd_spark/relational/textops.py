@@ -1,0 +1,364 @@
+"""Training-data pipeline operators over documents/embeddings (task mandate).
+
+Deduplication (exact + MinHash-LSH + n-gram Jaccard), text analysis
+(language-ID heuristic, quality scoring, token counting, fingerprinting) and
+similarity search (brute-force cosine top-k; LSH-bucketed variant) — each as
+a queries() entry with a DuckDB oracle where ANSI-SQL-expressible.
+
+Parity discipline: every hash is md5/sha256 (identical in Spark and DuckDB),
+every float is rounded identically on both sides, shingling uses 1-based
+substr in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pcd_spark.relational.queries import load, q
+
+REGISTRY: dict = {}
+
+
+def qt(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = {"spark": fn, "sql": sql}
+        return fn
+    return deco
+
+
+# =========================================================================
+# deduplication
+# =========================================================================
+
+@qt(
+    "x1_dedup_exact",
+    """SELECT sha256(text) AS content_sha,
+              MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+       FROM documents GROUP BY sha256(text)""",
+)
+def x1(spark, sf):
+    # exact dedup: hash-groupBy on content digest; at 100 TB the digest is
+    # computed scan-side and only (sha, id) shuffles — never the text
+    d = load(spark, sf, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("content_sha"), "doc_id")
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_MINHASH_SEEDS = ["s1", "s2", "s3", "s4"]
+
+
+def _minhash_sql(seed: str) -> str:
+    return (
+        f"list_min(list_transform(range(1, GREATEST(LENGTH(text) - 4, 1) + 1), "
+        f"i -> md5('{seed}' || SUBSTR(text, i, 5))))"
+    )
+
+
+@qt(
+    "x2_minhash_signature",
+    "SELECT doc_id, "
+    + ", ".join(f"{_minhash_sql(s)} AS mh_{s}" for s in _MINHASH_SEEDS)
+    + " FROM documents WHERE LENGTH(text) >= 5",
+)
+def x2(spark, sf):
+    # MinHash: shingle(5-char) -> md5(seed||shingle) -> min per seed.
+    # Vectorized JVM-side via higher-order functions; no Python.
+    d = load(spark, sf, "documents").filter(F.length("text") >= 5)
+    cols = [F.col("doc_id")]
+    for s in _MINHASH_SEEDS:
+        cols.append(_minhash_col(s).alias(f"mh_{s}"))
+    return d.select(*cols)
+
+
+def _minhash_col(seed: str):
+    # NB: the lambda must take exactly ONE arg — pyspark passes (element,
+    # index) to two-arg lambdas, which would silently replace the seed.
+    def shingle_hash(i):
+        return F.md5(F.concat(F.lit(seed), F.expr("text").substr(i, F.lit(5))))
+
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+            shingle_hash,
+        )
+    )
+
+
+@qt(
+    "x3_minhash_lsh_buckets",
+    f"""SELECT band_key, COUNT(*) AS bucket_size,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM (
+          SELECT doc_id,
+                 md5({_minhash_sql("s1")} || {_minhash_sql("s2")}) AS band_key
+          FROM documents WHERE LENGTH(text) >= 5)
+        GROUP BY band_key HAVING COUNT(*) >= 1""",
+)
+def x3(spark, sf):
+    # LSH banding: hash 2 minhashes into a band key; same-bucket docs are
+    # near-dup candidates. Candidate verification is a bucket-local join —
+    # the shuffle key is the band, so cost scales with bucket sizes, not n^2.
+    d = load(spark, sf, "documents").filter(F.length("text") >= 5)
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.concat(_minhash_col("s1"), _minhash_col("s2"))).alias("band_key"),
+        )
+        .groupBy("band_key")
+        .agg(
+            F.count("*").alias("bucket_size"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@qt(
+    "x4_ngram_jaccard_pairs",
+    """WITH sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, LENGTH(text) - 3),
+                                             i -> SUBSTR(text, i, 4))) AS grams
+         FROM documents WHERE n_chars BETWEEN 100 AND 200
+       ),
+       pairs AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+                LEN(list_intersect(a.grams, b.grams)) AS inter,
+                LEN(a.grams) + LEN(b.grams)
+                  - LEN(list_intersect(a.grams, b.grams)) AS uni
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       )
+       SELECT d1, d2, ROUND(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+       FROM pairs WHERE CAST(inter AS DOUBLE) / uni > 0.3""",
+)
+def x4(spark, sf):
+    # n-gram Jaccard near-dup on a bounded slice (n_chars filter pushes to
+    # the scan). Self-join is the baseline; the LSH path (x3) is the scale
+    # path that avoids the quadratic candidate set.
+    d = load(spark, sf, "documents").filter(F.col("n_chars").between(100, 200))
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 4),
+                lambda i: F.expr("text").substr(i, F.lit(4)),
+            )
+        ).alias("grams"),
+    )
+    a = sh.select(F.col("doc_id").alias("d1"), F.col("grams").alias("g1"))
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("grams").alias("g2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    inter = F.size(F.array_intersect("g1", "g2"))
+    uni = F.size("g1") + F.size("g2") - inter
+    jac = inter.cast("double") / uni
+    return pairs.select(
+        "d1", "d2", F.round(jac, 4).alias("jaccard")
+    ).filter(jac > 0.3)
+
+
+# =========================================================================
+# text analysis
+# =========================================================================
+
+def _count_occurrences(col, token: str):
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(token), F.lit("")))
+    ) / len(token)
+
+
+@qt(
+    "x5_token_count",
+    """SELECT doc_id,
+              LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
+              LEN(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_words
+       FROM documents WHERE LENGTH(TRIM(text)) > 0""",
+)
+def x5(spark, sf):
+    d = load(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("([a-zA-Z0-9]+)"), F.lit(1))
+        ).alias("n_words"),
+    )
+
+
+@qt(
+    "x6_quality_score",
+    """SELECT doc_id,
+              ROUND(CAST(LEN(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                    / LENGTH(text), 6) AS punct_ratio,
+              ROUND(CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE)
+                    / LENGTH(text), 6) AS token_density,
+              CASE WHEN LENGTH(text) BETWEEN 50 AND 5000 THEN 1 ELSE 0 END AS len_ok
+       FROM documents WHERE LENGTH(TRIM(text)) > 0""",
+)
+def x6(spark, sf):
+    d = load(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("([.,;:!?])"), F.lit(1))
+    ).cast("double")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    return d.select(
+        "doc_id",
+        F.round(punct / F.length("text"), 6).alias("punct_ratio"),
+        F.round(toks / F.length("text"), 6).alias("token_density"),
+        F.when(F.length("text").between(50, 5000), 1).otherwise(0).alias("len_ok"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": [" the ", " and "],
+    "es": [" el ", " que "],
+    "de": [" der ", " und "],
+    "fr": [" le ", " et "],
+}
+
+
+@qt(
+    "x7_langid_heuristic",
+    """SELECT doc_id,
+       CASE GREATEST(
+         (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5
+           + (LENGTH(text) - LENGTH(REPLACE(text, ' and ', ''))) / 5,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' el ', ''))) / 4
+           + (LENGTH(text) - LENGTH(REPLACE(text, ' que ', ''))) / 5,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' der ', ''))) / 5
+           + (LENGTH(text) - LENGTH(REPLACE(text, ' und ', ''))) / 5,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' le ', ''))) / 4
+           + (LENGTH(text) - LENGTH(REPLACE(text, ' et ', ''))) / 4)
+       WHEN (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5
+           + (LENGTH(text) - LENGTH(REPLACE(text, ' and ', ''))) / 5 THEN 'en'
+       WHEN (LENGTH(text) - LENGTH(REPLACE(text, ' el ', ''))) / 4
+           + (LENGTH(text) - LENGTH(REPLACE(text, ' que ', ''))) / 5 THEN 'es'
+       WHEN (LENGTH(text) - LENGTH(REPLACE(text, ' der ', ''))) / 5
+           + (LENGTH(text) - LENGTH(REPLACE(text, ' und ', ''))) / 5 THEN 'de'
+       ELSE 'fr' END AS pred_lang
+       FROM documents""",
+)
+def x7(spark, sf):
+    # marker-token language ID: score = occurrence count of language-specific
+    # stopwords; winner = highest score with a pinned tie order (en,es,de,fr).
+    d = load(spark, sf, "documents")
+    scores = {
+        lang: sum(_count_occurrences(F.col("text"), t) for t in toks)
+        for lang, toks in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best == scores["en"], "en")
+        .when(best == scores["es"], "es")
+        .when(best == scores["de"], "de")
+        .otherwise("fr")
+    )
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+@qt(
+    "x8_fingerprint",
+    """SELECT doc_id,
+              md5(LOWER(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
+       FROM documents""",
+)
+def x8(spark, sf):
+    # normalization fingerprint: case/punct/whitespace-insensitive digest
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", ""))).alias("fp"),
+    )
+
+
+# =========================================================================
+# similarity search over embeddings
+# =========================================================================
+
+def _cos(e1, e2):
+    dot = F.aggregate(
+        F.zip_with(e1, e2, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n1 = F.sqrt(
+        F.aggregate(F.transform(e1, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    n2 = F.sqrt(
+        F.aggregate(F.transform(e2, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot / (n1 * n2)
+
+
+@qt(
+    "v1_cosine_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       probes AS (SELECT * FROM e WHERE vec_id < 5),
+       scored AS (
+         SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                ROUND(list_dot_product(p.emb, c.emb)
+                      / (SQRT(list_dot_product(p.emb, p.emb))
+                         * SQRT(list_dot_product(c.emb, c.emb))), 6) AS cosine
+         FROM probes p JOIN e c ON p.vec_id <> c.vec_id)
+       SELECT probe_id, cand_id, cosine FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, cand_id ASC) AS rn
+         FROM scored) WHERE rn <= 3""",
+)
+def v1(spark, sf):
+    # brute-force cosine top-k (the exactness baseline for ANN); probes are
+    # broadcast so the big side streams — at scale this is the verify path
+    # for the LSH/IVF candidate generator (v2)
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb")
+    )
+    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"))
+    scored = (
+        F.broadcast(probes)
+        .join(cand, F.col("probe_id") != F.col("cand_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(_cos(F.col("pemb"), F.col("cemb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "cand_id", "cosine")
+    )
+
+
+@qt(
+    "v2_lsh_sign_buckets",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+       SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+       FROM (SELECT vec_id,
+                    CASE WHEN emb[1] >= 0 THEN 4 ELSE 0 END
+                    + CASE WHEN emb[2] >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN emb[3] >= 0 THEN 1 ELSE 0 END AS bucket
+             FROM e)
+       GROUP BY bucket""",
+)
+def v2(spark, sf):
+    # sign-LSH bucketing (random-hyperplane family with axis-aligned planes —
+    # deterministic, no rand()): ANN candidates come from the same bucket,
+    # turning the n^2 search into per-bucket joins.
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    bucket = (
+        F.when(F.col("emb")[0] >= 0, 4).otherwise(0)
+        + F.when(F.col("emb")[1] >= 0, 2).otherwise(0)
+        + F.when(F.col("emb")[2] >= 0, 1).otherwise(0)
+    )
+    return (
+        e.select("vec_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec"))
+    )

@@ -1,0 +1,107 @@
+"""Corpus + K8 edge-derivation tests (SURVEY.md §5.3.4, FIXTURES.md §1-2).
+
+The edge pipeline is validated against an independent pure-Python oracle
+(re + dict resolution) on the full tiny corpus, and the sha256 per-row
+invariant (BASELINE.json:15) against hashlib.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+from pcd_spark.corpus import (
+    synth_corpus,
+    with_sha,
+    latest_commits,
+    derive_edges,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = synth_corpus(spark, repos=10, files_per_repo=30, seed=42).persist()
+    df.count()
+    return df
+
+
+def test_corpus_shape_and_determinism(spark, corpus):
+    rows = corpus.count()
+    assert rows >= 300  # 300 files + ~5% second commits
+    assert corpus.columns == ["repo", "path", "commit", "lang", "content"]
+    # regenerating at a different parallelism yields identical rows
+    again = synth_corpus(spark, repos=10, files_per_repo=30, seed=42, num_parts=2)
+    a = sorted(map(tuple, corpus.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+
+
+def test_sha256_per_row_invariant(corpus):
+    """F.sha2(content, 256) == hashlib.sha256 for every row."""
+    for r in with_sha(corpus).collect():
+        assert r["content_sha"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def _python_oracle_edges(rows):
+    """Independent reimplementation of K8 on collected rows."""
+    # latest commit per (repo, path): lexicographically greatest commit
+    latest = {}
+    for r in rows:
+        key = (r["repo"], r["path"])
+        if key not in latest or r["commit"] > latest[key]["commit"]:
+            latest[key] = r
+    # vids: row_number over sorted (repo, path), 0-based
+    keys = sorted(latest)
+    vid = {k: i for i, k in enumerate(keys)}
+    # module index: module -> {repo: (repo, vid)}
+    mod_index = {}
+    for (repo, path), i in ((k, vid[k]) for k in keys):
+        m = re.sub(r"\.(py|js)$", "", path).replace("/", ".")
+        mod_index.setdefault(m, []).append((repo, i))
+    edges = {}
+    for key in keys:
+        r = latest[key]
+        src = vid[key]
+        if r["lang"] == "python":
+            mods = re.findall(r"(?m)^from\s+([\w\.]+)\s+import", r["content"])
+            mods += re.findall(r"(?m)^import\s+([\w\.]+)", r["content"])
+        else:
+            mods = [
+                re.sub(r"\.(py|js)$", "", m).replace("/", ".")
+                for m in re.findall(r"require\('\./([\w/\.]+)'\)", r["content"])
+            ]
+        for m in mods:
+            cands = mod_index.get(m)
+            if not cands:
+                continue  # unresolved
+            same = [c for c in cands if c[0] == r["repo"]]
+            pool = same if same else cands
+            dst = min(pool)[1]  # smallest (repo, vid)
+            if dst != src:
+                edges[(src, dst)] = edges.get((src, dst), 0) + 1
+    return edges
+
+
+def test_derive_edges_matches_python_oracle(corpus):
+    verts, edges = derive_edges(corpus)
+    got = {
+        (r["src"], r["dst"]): int(r["weight"]) for r in edges.collect()
+    }
+    want = _python_oracle_edges(corpus.collect())
+    assert got == want
+    assert len(got) > 100  # the planted graph is dense enough to be meaningful
+
+
+def test_latest_commit_dedup(corpus):
+    latest = latest_commits(corpus)
+    assert latest.count() == 300  # one row per (repo, path)
+    dup = latest.groupBy("repo", "path").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_vertex_ids_dense_and_deterministic(corpus):
+    verts, _ = derive_edges(corpus)
+    ids = sorted(r["vid"] for r in verts.collect())
+    assert ids == list(range(300))

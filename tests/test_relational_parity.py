@@ -1,0 +1,86 @@
+"""Local mirror of the driver's DuckDB correctness gate (SURVEY.md §5.3.1).
+
+Runs every REGISTRY entry that has a SQL oracle on sf0.001, compares
+row-count + schema-width + order-insensitive values (columns sorted by name,
+rows sorted), with exact equality for non-floats and 1e-9 tolerance for
+floats — stricter than needed so driver hash-compare mismatches never
+originate here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from pcd_spark.relational import REGISTRY
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            if hasattr(v, "isoformat"):  # date/datetime -> canonical string
+                v = v.isoformat()
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+ORACLE_QUERIES = sorted(n for n, e in REGISTRY.items() if e["sql"])
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_duckdb(spark, sf_dir, ddb, name):
+    entry = REGISTRY[name]
+    sdf = entry["spark"](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    rel = ddb.sql(entry["sql"])
+    dcols = rel.columns
+    drows = rel.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+
+    a, b = _norm(srows, scols), _norm(drows, dcols)
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                assert math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-9), (
+                    f"{name} row {i}: {ra} vs {rb}"
+                )
+            else:
+                assert va == vb, f"{name} row {i}: {ra} vs {rb}"
+
+
+ROWS_ONLY = sorted(n for n, e in REGISTRY.items() if not e["sql"])
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = REGISTRY[name]["spark"](spark, sf_dir)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
