@@ -7,9 +7,9 @@ Algorithm: hash-min label propagation [PUB: Rastogi et al. 2013] accelerated
 with pointer jumping (path halving) so convergence is O(log diameter), not
 O(diameter) — the path_100 fixture finishes in ~7 supersteps instead of 100.
 Each superstep:
-  1. gather:  label'[v] = min(label[v], min over neighbors' labels)   (1 shuffle)
+  1. gather:  label'[v] = min(label[v], min over neighbors' labels)  (1 shuffle)
   2. jump:    label''[v] = label'[label'[v]]                          (1 shuffle)
-Convergence when no label changes (delta = changed count).
+The changed-count `_delta` rides inside the new state (superstep.py rule 2).
 """
 
 from __future__ import annotations
@@ -29,51 +29,52 @@ def connected_components(
     num_parts: int | None = None,
     store: CheckpointStore | None = None,
     checkpoint_every: int = 5,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Returns DataFrame(vid: long, component: long) — exact min-vid ids."""
     p = num_parts or default_num_parts(edges)
 
-    sym = symmetrize(edges)
-    sym = (
-        sym.withColumn("part", F.pmod(F.xxhash64("src"), F.lit(p)).cast("int"))
-        .repartition(p, "part")
-        .persist()
-    )
+    sym = symmetrize(edges).repartition(p, "src").persist()
     sym.count()
     verts = vertices_of(sym).persist()
 
-    init = verts.select("vid", F.col("vid").alias("label"))
+    init = verts.select(
+        "vid", F.col("vid").alias("label"), F.lit(1.0).alias("_delta")
+    )
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         labels = state.select("vid", "label")
         # 1. hash-min gather over neighborhoods (D7)
         nbr_min = (
-            sym.join(labels.withColumnRenamed("vid", "src"), "src")
+            sym.hint("shuffle_hash")
+            .join(labels.withColumnRenamed("vid", "src"), "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.min("label").alias("nmin"))
         )
-        l1 = (
-            labels.join(nbr_min, "vid", "left")
-            .select("vid", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+        l1 = labels.join(nbr_min, "vid", "left").select(
+            "vid",
+            F.col("label").alias("old"),
+            F.least("label", F.coalesce("nmin", "label")).alias("label"),
         )
         # 2. pointer jump: label <- label(label)
-        parent = l1.select(F.col("vid").alias("label"), F.col("label").alias("plabel"))
-        return (
-            l1.join(parent, "label", "left")
-            .select("vid", F.coalesce("plabel", "label").alias("label"))
+        parent = l1.select(
+            F.col("vid").alias("label"), F.col("label").alias("plabel")
+        )
+        l2 = l1.join(parent, "label", "left")
+        newl = F.coalesce("plabel", "label")
+        return l2.select(
+            "vid",
+            newl.alias("label"),
+            (newl != F.col("old")).cast("double").alias("_delta"),
         )
 
-    def delta_fn(new: DataFrame, old: DataFrame) -> DataFrame:
-        return new.join(old.select("vid", F.col("label").alias("o")), "vid").agg(
-            F.coalesce(
-                F.sum((F.col("label") != F.col("o")).cast("double")), F.lit(0.0)
-            ).alias("delta")
-        )
-
-    final, _iters, _metrics = run_supersteps(
-        init, step, delta_fn, tol=0.5, max_iter=max_iter,
+    final, iters, metrics = run_supersteps(
+        init, step, tol=0.5, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every,
     )
+    if stats_out is not None:
+        stats_out["iterations"] = iters
+        stats_out["metrics"] = metrics
     out = final.select("vid", F.col("label").alias("component"))
     sym.unpersist()
     verts.unpersist()

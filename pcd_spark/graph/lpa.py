@@ -5,12 +5,16 @@ Pinned deterministic rule (== pcd_spark.oracle.lpa_numpy, the test oracle):
   most frequent label among its neighbors' PREVIOUS labels, ties -> smallest
   label; isolated vertices keep theirs; stop on no change or max_iter.
 
-Physical shape: gather = edges ⋈ labels on src (narrow on persisted edge
-side) → count by (dst, label) — the first shuffle's map-side partials are the
-per-partition label histograms — → deterministic argmax via
-max(struct(cnt, -label)) (D6; never F.mode — its tie order is undefined).
-Optional salting (C10) splits hub vertices' histograms across reducers first;
-see salt.py. Exactness is asserted against the numpy oracle in tests.
+Physical shape per superstep:
+  gather: symmetrized edges (partitioned on src once, persisted) SHUFFLE_HASH-
+  join labels -> count by (dst, label) — the first shuffle's map-side partial
+  histograms absorb hub fan-in — -> deterministic argmax via
+  min(struct(-cnt, label)) (D6; never F.mode — its tie order is undefined)
+  -> left-join back onto previous labels, where the changed-flag `_delta` is
+  computed in the same select (zero-extra-join convergence, superstep.py).
+
+Optional two-phase salting (C10) for extreme hub skew; results identical to
+unsalted (tests/test_csr_kernels.py).
 """
 
 from __future__ import annotations
@@ -25,13 +29,12 @@ from pcd_spark.storage import CheckpointStore
 
 
 def argmax_label(counts: DataFrame, vid_col: str = "vid") -> DataFrame:
-    """D6: per-vertex deterministic argmax over (label, cnt) rows:
-    highest cnt wins, ties -> smallest label. Encoded as a single max over
-    struct(cnt, -label) so it stays one hash aggregation."""
+    """D6: per-vertex deterministic argmax over (label, cnt) rows: highest
+    cnt wins, ties -> smallest label — one hash agg via min(struct)."""
     return (
         counts.groupBy(vid_col)
-        .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
-        .select(vid_col, (-F.col("m.neg")).alias("new_label"))
+        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias("m"))
+        .select(vid_col, F.col("m.label").alias("new_label"))
     )
 
 
@@ -42,33 +45,32 @@ def label_propagation(
     salt_buckets: int = 0,
     store: CheckpointStore | None = None,
     checkpoint_every: int = 5,
+    stats_out: dict | None = None,
 ) -> DataFrame:
-    """Returns DataFrame(vid: long, label: long) under the pinned rule.
-
-    salt_buckets > 0 enables the two-phase salted histogram for hub skew
-    (BASELINE.json:6 "salting for hub-vertex skew"): partial counts by
-    (dst, salt, label) then final by (dst, label). Results are identical
-    to the unsalted path (asserted in tests/test_salt.py).
-    """
+    """Returns DataFrame(vid: long, label: long) under the pinned rule."""
     p = num_parts or default_num_parts(edges)
 
     sym = symmetrize(edges)
-    sym = sym.withColumn("part", F.pmod(F.xxhash64("src"), F.lit(p)).cast("int"))
     if salt_buckets > 0:
-        # deterministic salt from the *source* vertex: spreads a hub dst's
-        # incoming messages across salt_buckets reducers in phase 1.
+        # deterministic salt from the source vertex: spreads a hub dst's
+        # incoming messages across salt_buckets phase-1 reducers
         sym = sym.withColumn(
-            "salt", F.pmod(F.xxhash64("src", F.lit(7)), F.lit(salt_buckets)).cast("int")
+            "salt",
+            F.pmod(F.xxhash64("src", F.lit(7)), F.lit(salt_buckets)).cast("int"),
         )
-    sym = sym.repartition(p, "part").persist()
+    sym = sym.repartition(p, "src").persist()
     sym.count()
     verts = vertices_of(sym).persist()
 
-    init = verts.select("vid", F.col("vid").alias("label"))
+    init = verts.select(
+        "vid", F.col("vid").alias("label"), F.lit(1.0).alias("_delta")
+    )
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         labels = state.select("vid", "label")
-        msgs = sym.join(labels.withColumnRenamed("vid", "src"), "src")
+        msgs = sym.hint("shuffle_hash").join(
+            labels.withColumnRenamed("vid", "src"), "src"
+        )
         if salt_buckets > 0:
             partial = msgs.groupBy("dst", "salt", "label").agg(
                 F.count("*").alias("cnt")
@@ -77,23 +79,24 @@ def label_propagation(
         else:
             counts = msgs.groupBy("dst", "label").agg(F.count("*").alias("cnt"))
         best = argmax_label(counts.withColumnRenamed("dst", "vid"))
+        new_label = F.coalesce("new_label", "label")
         return (
             state.select("vid", "label")
             .join(best, "vid", "left")
-            .select("vid", F.coalesce("new_label", "label").alias("label"))
+            .select(
+                "vid",
+                new_label.alias("label"),
+                (new_label != F.col("label")).cast("double").alias("_delta"),
+            )
         )
 
-    def delta_fn(new: DataFrame, old: DataFrame) -> DataFrame:
-        return new.join(old.select("vid", F.col("label").alias("o")), "vid").agg(
-            F.coalesce(
-                F.sum((F.col("label") != F.col("o")).cast("double")), F.lit(0.0)
-            ).alias("delta")
-        )
-
-    final, _iters, _metrics = run_supersteps(
-        init, step, delta_fn, tol=0.5, max_iter=max_iter,
+    final, iters, metrics = run_supersteps(
+        init, step, tol=0.5, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every,
     )
+    if stats_out is not None:
+        stats_out["iterations"] = iters
+        stats_out["metrics"] = metrics
     out = final.select("vid", "label")
     sym.unpersist()
     verts.unpersist()

@@ -2,18 +2,24 @@
 
 The MPI loop (local compute → Alltoallv → Allreduce) becomes:
 
-    new   = step_fn(state, i)          # lazy plan: join + ONE agg shuffle
+    new   = step_fn(state, i)          # lazy plan; carries a `_delta` column
     new   = truncate(new)              # localCheckpoint: materialize + cut lineage
-    delta = delta_fn(new, state)       # cheap join of two materialized states
+    delta = sum(new._delta)            # agg over the ALREADY-materialized state
     every k iters: durable checkpoint  # snapshot + manifest (resume point)
 
-Lineage is truncated EVERY superstep, not every k: a superstep plan
-references the previous state 2-3× (gather, keep-old fallback, delta), so an
-untruncated chain grows *exponentially* — measured on this sandbox as
-1.8s → 59s per iteration within 6 supersteps. Vertex state is small relative
-to edges (O(V) vs O(E)), so per-superstep truncation is cheap and is what
-Pregel-style systems do. The durable Parquet checkpoint every k supersteps
-adds resumability on top (BASELINE.json:6 "resumes mid-iteration").
+Two hard-won design rules (measured in this sandbox):
+
+1. Lineage is truncated EVERY superstep. A superstep plan references the
+   previous state 2-3×, so an untruncated chain grows exponentially —
+   measured 1.8s → 59s per iteration within 6 supersteps. Vertex state is
+   O(V) (small next to O(E) edges), so per-superstep truncation is cheap;
+   Pregel-style systems do exactly this.
+
+2. The convergence metric rides INSIDE the new state as a `_delta` column
+   (per-row contribution: |Δrank| or changed-flag), computed in the same
+   select that builds the new state — the old value is already present from
+   the superstep join. The driver then aggregates the cached state: zero
+   extra joins per superstep for the Allreduce.
 """
 
 from __future__ import annotations
@@ -21,25 +27,24 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pcd_spark.storage import CheckpointStore
 
-StepFn = Callable[[DataFrame, int], DataFrame]
-DeltaFn = Callable[[DataFrame, DataFrame], DataFrame]  # (new, old) -> 1-row 'delta'
+StepFn = Callable[[DataFrame, int], DataFrame]  # returns state cols + `_delta`
 
 
 def run_supersteps(
     init_state: DataFrame,
     step_fn: StepFn,
-    delta_fn: DeltaFn,
     tol: float,
     max_iter: int,
     store: CheckpointStore | None = None,
     checkpoint_every: int = 5,
     resume: bool = True,
 ) -> tuple[DataFrame, int, list[tuple[int, float]]]:
-    """Run step_fn until delta < tol or max_iter. Returns
-    (final_state, iterations_run, [(iteration, delta), ...])."""
+    """Run step_fn until sum(_delta) < tol or max_iter. Returns
+    (final_state_with_delta, iterations_run, [(iteration, delta), ...])."""
     state = init_state
     start_iter = 0
     metrics: list[tuple[int, float]] = []
@@ -56,7 +61,9 @@ def run_supersteps(
     it = start_iter
     for it in range(start_iter + 1, max_iter + 1):
         new = step_fn(state, it).localCheckpoint(eager=True)
-        delta = float(delta_fn(new, state).first()["delta"])
+        delta = float(
+            new.agg(F.coalesce(F.sum("_delta"), F.lit(0.0)).alias("d")).first()["d"]
+        )
         metrics.append((it, delta))
 
         if store is not None and (

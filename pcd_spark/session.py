@@ -28,7 +28,7 @@ _ENGINE_CONFS = {
     # tests that pin a strategy; engine code passes explicit hints instead.
     "spark.sql.autoBroadcastJoinThreshold": "10m",
     "spark.sql.session.timeZone": "UTC",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.ui.enabled": "false",
 }
 

@@ -1,0 +1,135 @@
+"""Structured Streaming slice (SURVEY.md §2 I1–I7).
+
+Scope (bounded, per SURVEY §1.2): event analytics over the `events` schema
+and incremental edge ingestion feeding the graph engine. Every operator is
+a plain DataFrame transformation, so each has a batch-equivalent used by the
+tests (and by DuckDB oracles where applicable): a streaming query with
+watermark W over tumbling/sliding/session windows produces exactly the batch
+aggregation restricted to rows not dropped as late.
+
+The edge-ingestion sink (I7) is the streaming front door of the engine:
+micro-batches of (src, dst) append to the canonical edge table with
+exactly-once dedup, after which any K-series algorithm can run incrementally
+on the refreshed table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+EDGE_STREAM_SCHEMA = "src long, dst long, ts timestamp"
+
+
+def stream_events(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """I-source: file-based event stream (parquet drops into src_dir).
+    In prod this is Kafka/Kinesis; the transformation surface is identical."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """I1+I2: watermarked tumbling-window counts per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """I3: overlapping windows — each row lands in window//slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """I4: per-user sessions closed by a `gap` of inactivity."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("win.start").alias("sess_start"),
+            F.col("win.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )
+
+
+def dedup_edges_within_watermark(
+    edge_stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """I6: exactly-once edge ingestion — duplicate (src, dst) arriving within
+    the watermark horizon are dropped with bounded state."""
+    return edge_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["src", "dst"]
+    )
+
+
+def start_edge_ingestion(
+    edge_stream: DataFrame,
+    edge_table_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+):
+    """I7: foreachBatch merge into the canonical edge table.
+
+    Each micro-batch is deduped within itself AND against the existing table
+    (left anti join) before appending — idempotent under replay because the
+    batch dedup runs against the post-previous-batch table state.
+    """
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = batch.select("src", "dst").dropDuplicates(["src", "dst"])
+        try:
+            existing = spark.read.parquet(edge_table_path).select("src", "dst")
+            fresh = fresh.join(existing, ["src", "dst"], "left_anti")
+        except Exception:
+            pass  # first batch: table doesn't exist yet
+        fresh.write.mode("append").parquet(edge_table_path)
+
+    writer = (
+        dedup_edges_within_watermark(edge_stream)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,175 @@
+"""Streaming slice tests (SURVEY.md §2 I, §5.3.6).
+
+Strategy: file-source micro-batches + availableNow trigger; every windowed
+aggregate is compared against its batch equivalent; late-data handling is
+exercised with a hand-injected row older than the watermark delivered in a
+later micro-batch (maxFilesPerTrigger=1 forces batch boundaries).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pcd_spark.streaming import (
+    stream_events,
+    tumbling_counts,
+    sliding_counts,
+    session_windows,
+    start_edge_ingestion,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(minutes=m), uid, et, float(v), "{}")
+            for i, (m, uid, et, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+def _drop_file(df, src_dir: str, name: str) -> None:
+    """Write df as ONE parquet file directly under src_dir (the file-stream
+    source lists plain files, not .parquet output directories)."""
+    import glob, shutil, tempfile
+
+    tmp = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/out")
+    part = glob.glob(f"{tmp}/out/part-*.parquet")[0]
+    shutil.move(part, os.path.join(src_dir, name))
+    shutil.rmtree(tmp)
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    src.mkdir()
+    return str(src), str(ckpt), str(out)
+
+
+def _run_to_memory(df, name, ckpt, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return df.sparkSession.sql(f"select * from {name}")
+
+
+def test_tumbling_window_equals_batch(spark, stream_dirs):
+    src, ckpt, _ = stream_dirs
+    rows = [(m, m % 3, "click" if m % 2 else "view", m) for m in range(0, 30)]
+    batch_df = _mk_events(spark, rows)
+    _drop_file(batch_df, src, "b0.parquet")
+
+    got = _run_to_memory(
+        tumbling_counts(stream_events(spark, src)), "tumbling_t", ckpt,
+        output_mode="complete",
+    ).collect()
+    want = (
+        batch_df.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type", "n", "total",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_sliding_window_equals_batch(spark, stream_dirs):
+    src, ckpt, _ = stream_dirs
+    rows = [(m, 1, "view", 1) for m in range(0, 25)]
+    batch_df = _mk_events(spark, rows)
+    _drop_file(batch_df, src, "b0.parquet")
+    got = _run_to_memory(
+        sliding_counts(stream_events(spark, src)), "sliding_t", ckpt,
+        output_mode="complete",
+    ).collect()
+    want = (
+        batch_df.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), "n")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_session_window_gap(spark, stream_dirs):
+    src, ckpt, _ = stream_dirs
+    # user 1: bursts at minutes 0-2 and 20-21 -> 2 sessions (gap 5m)
+    rows = [(0, 1, "v", 1), (2, 1, "v", 1), (20, 1, "v", 1), (21, 1, "v", 1)]
+    _drop_file(_mk_events(spark, rows), src, "b0.parquet")
+    got = _run_to_memory(
+        session_windows(stream_events(spark, src)), "session_t", ckpt,
+        output_mode="complete",
+    ).collect()
+    sessions = [(r["sess_start"], r["n_events"]) for r in got]
+    assert len(sessions) == 2
+    assert sorted(n for _, n in sessions) == [2, 2]
+
+
+def test_late_rows_dropped_by_watermark(spark, stream_dirs):
+    src, ckpt, _ = stream_dirs
+    import time as _t
+
+    # batch 0: events up to minute 60 -> watermark will advance to 50
+    _drop_file(_mk_events(spark, [(m, 1, "v", 1) for m in (0, 1, 2, 60)]), src, "b0.parquet")
+    _t.sleep(1.1)  # distinct mtimes: file order == intended batch order
+    # batch 1: fresh row; during it watermark=50 evicts+emits window [0,5)
+    _drop_file(_mk_events(spark, [(61, 1, "v", 1)]), src, "b1.parquet")
+    _t.sleep(1.1)
+    # batch 2: a LATE row (minute 1) arriving after its window was evicted —
+    # Spark guarantees it is dropped (append mode never re-emits a window)
+    _drop_file(_mk_events(spark, [(1, 1, "v", 100)]), src, "b2.parquet")
+    got = _run_to_memory(
+        tumbling_counts(stream_events(spark, src, max_files_per_trigger=1)),
+        "late_t",
+        ckpt,
+    ).collect()
+    w0 = [r for r in got if r["win_start"] == T0]
+    assert len(w0) == 1, f"window [0,5) must be emitted exactly once, got {w0}"
+    assert w0[0]["n"] == 3 and w0[0]["total"] == 3.0  # late value=100 dropped
+
+
+def test_edge_ingestion_foreachbatch_exactly_once(spark, stream_dirs, tmp_path):
+    src, ckpt, out = stream_dirs
+    edges1 = spark.createDataFrame(
+        [(1, 2, T0), (2, 3, T0), (1, 2, T0)], "src long, dst long, ts timestamp"
+    )
+    edges2 = spark.createDataFrame(
+        [(1, 2, T0 + dt.timedelta(minutes=1)), (3, 4, T0 + dt.timedelta(minutes=1))],
+        "src long, dst long, ts timestamp",
+    )
+    _drop_file(edges1, src, "e0.parquet")
+    import time as _t
+    _t.sleep(1.1)
+    _drop_file(edges2, src, "e1.parquet")
+
+    stream = (
+        spark.readStream.schema("src long, dst long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_edge_ingestion(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    table = spark.read.parquet(out)
+    rows = sorted((r["src"], r["dst"]) for r in table.collect())
+    assert rows == [(1, 2), (2, 3), (3, 4)]  # duplicates collapsed exactly-once
