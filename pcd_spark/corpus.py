@@ -224,3 +224,25 @@ def derive_edges(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
         .agg(F.count("*").cast("double").alias("weight"))
     )
     return verts, edges
+
+
+def vertex_dictionary_hashed(corpus: DataFrame) -> tuple[DataFrame, int]:
+    """Prod-scale vid assignment (SURVEY §7.3 item 5): vid = xxhash64(repo,
+    path) — no global sort, no row_number, embarrassingly parallel at 10^12
+    files; deterministic across runs and partitionings.
+
+    Returns (vertices, n_collisions). A collision audit is part of the
+    contract: 64-bit hashing over 10^12 keys has ~2.7% birthday-bound
+    collision odds overall, so callers must check and fall back to a salted
+    re-hash of the colliding keys (audit is one groupBy, cheap next to the
+    scan). At sandbox scale collisions are effectively impossible but the
+    audit path is exercised in tests.
+    """
+    verts = (
+        corpus.select("repo", "path").distinct()
+        .select(F.xxhash64("repo", "path").alias("vid"), "repo", "path")
+    )
+    collisions = (
+        verts.groupBy("vid").count().filter(F.col("count") > 1).count()
+    )
+    return verts, int(collisions)

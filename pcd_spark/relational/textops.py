@@ -362,3 +362,93 @@ def v2(spark, sf):
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec"))
     )
+
+
+# =========================================================================
+# multimodal + vectorized-UDF surface (J2/J3 + task mandate)
+# =========================================================================
+
+@qt(
+    "j2_blob_digest",
+    """SELECT doc_id AS blob_id,
+              CAST(strlen(text) AS BIGINT) AS n_bytes,
+              sha256(text) AS digest
+       FROM documents""",
+)
+def j2(spark, sf):
+    # mapInPandas over binary media: digest/size computed scan-side; the
+    # blob column never shuffles (multimodal.py)
+    from pcd_spark.relational.multimodal import documents_as_blobs, extract_features
+
+    blobs = documents_as_blobs(load(spark, sf, "documents"))
+    return extract_features(blobs).select("blob_id", "n_bytes", "digest")
+
+
+@qt("m2_blob_features", None)  # deterministic fake embed; array<float> output
+def m2(spark, sf):
+    from pcd_spark.relational.multimodal import documents_as_blobs, extract_features
+
+    blobs = documents_as_blobs(load(spark, sf, "documents"))
+    return extract_features(blobs).select("blob_id", "feat")
+
+
+@qt(
+    "m3_frame_sample",
+    """SELECT blob_id, CAST(frame_no AS BIGINT) AS frame_no,
+              CAST(frame_no * 1000 AS BIGINT) AS byte_offset
+       FROM (SELECT doc_id AS blob_id,
+                    UNNEST(range(0, GREATEST(CAST(strlen(text) / 1000 AS INT), 1)))
+                      AS frame_no
+             FROM documents)""",
+)
+def m3(spark, sf):
+    from pcd_spark.relational.multimodal import documents_as_blobs, frame_sample
+
+    blobs = documents_as_blobs(load(spark, sf, "documents"))
+    return frame_sample(blobs, every_n=1000).select(
+        "blob_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+    )
+
+
+@qt(
+    "j3_scalar_pandas_udf",
+    """SELECT event_id, ROUND(LN(1 + value) * 2, 6) AS scored
+       FROM events WHERE value >= 0""",
+)
+def j3(spark, sf):
+    # J3: Arrow-vectorized Series->Series UDF (the sanctioned Python path).
+    # NB: defined via lambda because `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's type-hint inference rejects.
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    score = pandas_udf(lambda v: np.round(np.log1p(v) * 2, 6), "double")
+
+    e = load(spark, sf, "events").filter(F.col("value") >= 0)
+    return e.select("event_id", score("value").alias("scored"))
+
+
+@qt(
+    "h9_map_functions",
+    """SELECT event_id, 1 AS n_keys, ROUND(value, 4) AS got_val
+       FROM events""",
+)
+def h9(spark, sf):
+    e = load(spark, sf, "events")
+    m = F.create_map(F.col("event_type"), F.round("value", 4))
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, F.col("event_type")).alias("got_val"),
+    )
+
+
+@qt("d5_approx_count_distinct", None)  # HLL sketch: engine-specific values
+def d5(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )

@@ -145,3 +145,59 @@ class CheckpointStore:
 
     def metrics_lineage(self) -> list[tuple[int, float]]:
         return [(m.iteration, m.delta_metric) for m in self.manifests()]
+
+
+class CorpusTable:
+    """A2: snapshot-consistent corpus table adapter (SURVEY §0.4, §7.1).
+
+    Local emulation of the Iceberg semantics the engine needs: immutable
+    partitioned-Parquet snapshots + an append-only JSON snapshot log; readers
+    always see exactly one committed snapshot. In prod the same four methods
+    delegate to a real Iceberg catalog (`spark.read.format("iceberg")`,
+    `df.writeTo(...).createOrReplace()`) — call sites don't change.
+    """
+
+    def __init__(self, base_dir: str, partition_by: str = "lang"):
+        self.base = base_dir
+        self.partition_by = partition_by
+        os.makedirs(base_dir, exist_ok=True)
+
+    def _log_path(self) -> str:
+        return os.path.join(self.base, "snapshot-log.json")
+
+    def snapshots(self) -> list[dict]:
+        if not os.path.exists(self._log_path()):
+            return []
+        with open(self._log_path()) as f:
+            return json.load(f)
+
+    def commit(self, df: DataFrame, note: str = "") -> int:
+        """Write a new immutable snapshot; returns its id. The data write
+        happens BEFORE the log append (the commit point) — a crashed write
+        leaves an orphan dir, never a torn table."""
+        snaps = self.snapshots()
+        sid = (snaps[-1]["id"] + 1) if snaps else 0
+        path = os.path.join(self.base, f"snap-{sid:05d}")
+        df.write.mode("overwrite").partitionBy(self.partition_by).parquet(path)
+        rows = df.sparkSession.read.parquet(path).count()
+        snaps.append(
+            {
+                "id": sid,
+                "path": path,
+                "rows": rows,
+                "note": note,
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        )
+        tmp = self._log_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snaps, f)
+        os.replace(tmp, self._log_path())
+        return sid
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        snaps = self.snapshots()
+        if not snaps:
+            raise FileNotFoundError(f"no committed snapshot in {self.base}")
+        snap = snaps[-1] if snapshot_id is None else snaps[snapshot_id]
+        return spark.read.parquet(snap["path"])

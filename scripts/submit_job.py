@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""spark-submit entry point (BASELINE.json:6 "run via spark-submit --py-files").
+
+Usage:
+    zip -r /tmp/pcd_spark.zip pcd_spark
+    spark-submit --master local[8] --py-files /tmp/pcd_spark.zip \\
+        scripts/submit_job.py --algo pagerank --snap graph.txt --out /tmp/out
+
+The module arrives via --py-files (no repo on the executors' PYTHONPATH),
+which is exactly the multi-executor deployment shape; the driver resolves
+pcd_spark from the shipped zip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--algo", required=True,
+                    choices=["pagerank", "cc", "lpa", "triangles"])
+    ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
+    ap.add_argument("--out", required=True, help="output parquet dir")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--max-iter", type=int, default=50)
+    args = ap.parse_args()
+
+    # SparkSession comes from spark-submit; imports resolve from --py-files
+    from pyspark.sql import SparkSession
+
+    from pcd_spark.graph import (
+        connected_components,
+        label_propagation,
+        pagerank,
+        read_snap_edges,
+        triangle_counts,
+    )
+    from pcd_spark.storage import CheckpointStore
+
+    spark = SparkSession.builder.getOrCreate()
+    edges = read_snap_edges(spark, args.snap)
+
+    store = None
+    if args.checkpoint_dir:
+        store = CheckpointStore(args.checkpoint_dir, args.algo, run_id="submit")
+
+    stats: dict = {}
+    if args.algo == "pagerank":
+        sym = edges.unionByName(edges.selectExpr("dst as src", "src as dst"))
+        res = pagerank(sym, max_iter=args.max_iter, store=store, stats_out=stats)
+    elif args.algo == "cc":
+        res = connected_components(edges, max_iter=args.max_iter, store=store,
+                                   stats_out=stats)
+    elif args.algo == "lpa":
+        res = label_propagation(edges, max_iter=args.max_iter, store=store,
+                                stats_out=stats)
+    else:
+        res = triangle_counts(edges)
+
+    res.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "algo": args.algo,
+        "rows": spark.read.parquet(args.out).count(),
+        "iterations": stats.get("iterations"),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -105,3 +105,27 @@ def test_vertex_ids_dense_and_deterministic(corpus):
     verts, _ = derive_edges(corpus)
     ids = sorted(r["vid"] for r in verts.collect())
     assert ids == list(range(300))
+
+
+def test_hashed_vids_deterministic_no_collisions(spark, corpus):
+    from pcd_spark.corpus import vertex_dictionary_hashed
+
+    v1, c1 = vertex_dictionary_hashed(corpus)
+    v2, c2 = vertex_dictionary_hashed(corpus.repartition(7))
+    assert c1 == 0 and c2 == 0
+    a = sorted(map(tuple, v1.collect()))
+    b = sorted(map(tuple, v2.collect()))
+    assert a == b  # partition-invariant, sort-free id assignment
+
+
+def test_corpus_table_snapshots(spark, corpus, tmp_path):
+    from pcd_spark.storage import CorpusTable
+
+    t = CorpusTable(str(tmp_path / "corpus_tbl"), partition_by="lang")
+    s0 = t.commit(corpus, note="initial")
+    s1 = t.commit(corpus.filter("lang = 'python'"), note="python only")
+    assert (s0, s1) == (0, 1)
+    assert t.read(spark).count() < t.read(spark, 0).count()
+    assert t.read(spark, 0).count() == corpus.count()
+    # snapshot log survives and is ordered
+    assert [s["id"] for s in t.snapshots()] == [0, 1]
