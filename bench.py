@@ -158,9 +158,17 @@ SCALING_PARTS = 32  # FIXED across parallelism levels (real clusters size
 
 
 def run_scaling_worker(cores: int) -> dict:
-    """One parallelism level: PageRank + LPA, 5 supersteps each, on the same
-    deterministic power-law graph. Prep time reported separately so the
-    throughput is pure superstep time."""
+    """One parallelism level: PageRank (8 supersteps) + LPA (6 supersteps)
+    on the same deterministic power-law graph.
+
+    Noise control (this host shows multi-second hypervisor-steal spikes):
+    each algo first runs once on a small graph with identical plan shapes
+    (JIT/codegen warmup), and throughput is computed from the MEDIAN
+    per-superstep wall time, not the total — a single stolen-CPU spike then
+    shifts one step, not the whole estimate. Raw per-step times are reported
+    so the spread is auditable."""
+    import statistics
+
     from pcd_spark.session import get_spark
     from pcd_spark.graph import label_propagation, pagerank
     from pcd_spark.graph.generators import powerlaw_edges
@@ -175,12 +183,21 @@ def run_scaling_worker(cores: int) -> dict:
         num_parts=SCALING_PARTS,
     ).persist()
     n_e = e.count()
+
+    warm = powerlaw_edges(
+        spark, 20_000, 200_000, alpha=2.0, num_parts=SCALING_PARTS
+    ).persist()
+    warm.count()
+    pagerank(warm, tol=0.0, max_iter=2, num_parts=SCALING_PARTS).count()
+    label_propagation(warm, max_iter=2, num_parts=SCALING_PARTS).count()
+    warm.unpersist()
     prep = round(time.time() - t0, 1)
+
     out = {"cores": cores, "directed_edges": n_e, "prep_sec": prep}
     for name, fn in [
-        ("pagerank", lambda s: pagerank(e, tol=0.0, max_iter=5,
+        ("pagerank", lambda s: pagerank(e, tol=0.0, max_iter=8,
                                         num_parts=SCALING_PARTS, stats_out=s)),
-        ("lpa", lambda s: label_propagation(e, max_iter=5,
+        ("lpa", lambda s: label_propagation(e, max_iter=6,
                                             num_parts=SCALING_PARTS, stats_out=s)),
     ]:
         stats: dict = {}
@@ -188,12 +205,15 @@ def run_scaling_worker(cores: int) -> dict:
         fn(stats).count()
         sec = time.time() - t0
         iters = max(stats.get("iterations", 1), 1)
-        traversals = n_e * (2 if name == "lpa" else 1) * iters
+        steps = stats.get("step_secs") or [sec / iters]
+        med = statistics.median(steps)
+        per_step = n_e * (2 if name == "lpa" else 1)
         out[name] = {
             "supersteps": iters,
             "sec": round(sec, 1),
-            "sec_per_superstep": round(sec / iters, 2),
-            "edge_traversals_per_sec": round(traversals / sec, 1),
+            "step_secs": steps,
+            "median_sec_per_superstep": round(med, 2),
+            "edge_traversals_per_sec": round(per_step / med, 1),
         }
     return out
 
@@ -230,9 +250,11 @@ def run_scaling() -> None:
         f"{results[2]['directed_edges']:,} directed edges, generated in-Spark.",
         f"Partition count FIXED at {SCALING_PARTS} across all parallelism",
         "levels; only cores vary (N=2 vs 4N=8; local[32] shown as the",
-        "single-box peak — see note below). 5 supersteps per algorithm;",
-        "throughput = edge-traversals / superstep seconds (LPA traverses",
-        "each undirected edge twice per superstep).",
+        "single-box peak — see note below). PageRank runs 8 supersteps,",
+        "LPA 6, after a JIT/codegen warmup pass; throughput = edge",
+        "traversals / MEDIAN superstep seconds (robust to this host's",
+        "hypervisor-steal spikes; raw per-step times in the JSON below).",
+        "LPA traverses each undirected edge twice per superstep.",
         "",
         "| algo | local[2] e/s | local[8] e/s | local[32] e/s | efficiency N->4N |",
         "| --- | --- | --- | --- | --- |",

@@ -51,7 +51,7 @@ def connected_components(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.min("label").alias("nmin"))
         )
-        l1 = labels.join(nbr_min, "vid", "left").select(
+        l1 = labels.join(nbr_min.hint("shuffle_hash"), "vid", "left").select(
             "vid",
             F.col("label").alias("old"),
             F.least("label", F.coalesce("nmin", "label")).alias("label"),
@@ -60,7 +60,7 @@ def connected_components(
         parent = l1.select(
             F.col("vid").alias("label"), F.col("label").alias("plabel")
         )
-        l2 = l1.join(parent, "label", "left")
+        l2 = l1.join(parent.hint("shuffle_hash"), "label", "left")
         newl = F.coalesce("plabel", "label")
         return l2.select(
             "vid",

@@ -154,7 +154,7 @@ def pagerank_csr(
             .withColumnRenamed("dst", "vid")
         )
         base = state.select("vid", F.col("rank").alias("old")).join(
-            contribs, "vid", "left"
+            contribs.hint("shuffle_hash"), "vid", "left"
         )
         if has_danglers:
             dm = (
@@ -175,13 +175,15 @@ def pagerank_csr(
             F.abs(new_rank - F.col("old")).alias("_delta"),
         )
 
+    _secs: list[float] = []
     final, iters, metrics = run_supersteps(
         init, step, tol=tol, max_iter=max_iter,
-        store=store, checkpoint_every=checkpoint_every,
+        store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters
         stats_out["metrics"] = metrics
+        stats_out["step_secs"] = _secs
     out = final.select("vid", "rank")
     blocks.unpersist()
     danglers.unpersist()
@@ -204,10 +206,19 @@ def label_propagation_csr(
     """Identical semantics to label_propagation(); CSR-kernel path.
     Kernel emits per-partition (dst, label, cnt) partial histograms — the
     explicit map-side combine for hub vertices (salting made structural)."""
+    from pcd_spark.graph.lpa import _ENC_LIMIT, argmax_label, argmax_label_encoded
+
     p = num_parts or default_num_parts(edges)
     sym = symmetrize(edges)
     blocks = build_csr_blocks(sym, p, weight_col=None, normalize=False)
     verts = vertices_of(sym).persist()
+
+    max_vid = verts.agg(F.max("vid").alias("m")).first()["m"] or 0
+    enc_k = int(max_vid) + 1
+    dmax_row = (
+        sym.groupBy("dst").agg(F.count("*").alias("d")).agg(F.max("d").alias("m")).first()
+    )
+    use_encoded = int(dmax_row["m"] or 1) * enc_k < _ENC_LIMIT
 
     init = verts.select(
         "vid", F.col("vid").alias("label"), F.lit(1.0).alias("_delta")
@@ -243,16 +254,23 @@ def label_propagation_csr(
             .cogroup(st.groupBy("part"))
             .applyInPandas(kernel, "dst long, label long, cnt long")
         )
-        counts = partials.groupBy("dst", "label").agg(F.sum("cnt").alias("cnt"))
+        # one wide shuffle on dst; the (dst,label) sum and the per-dst argmax
+        # both run partition-locally (HashPartitioning(dst) satisfies both)
+        counts = (
+            partials.repartition(p, "dst")
+            .groupBy("dst", "label")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumnRenamed("dst", "vid")
+        )
         best = (
-            counts.groupBy("dst")
-            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias("m"))
-            .select(F.col("dst").alias("vid"), F.col("m.label").alias("new_label"))
+            argmax_label_encoded(counts, enc_k)
+            if use_encoded
+            else argmax_label(counts)
         )
         new_label = F.coalesce("new_label", "label")
         return (
             state.select("vid", "label")
-            .join(best, "vid", "left")
+            .join(best.hint("shuffle_hash"), "vid", "left")
             .select(
                 "vid",
                 new_label.alias("label"),
@@ -260,13 +278,15 @@ def label_propagation_csr(
             )
         )
 
+    _secs: list[float] = []
     final, iters, metrics = run_supersteps(
         init, step, tol=0.5, max_iter=max_iter,
-        store=store, checkpoint_every=checkpoint_every,
+        store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters
         stats_out["metrics"] = metrics
+        stats_out["step_secs"] = _secs
     out = final.select("vid", "label")
     blocks.unpersist()
     verts.unpersist()

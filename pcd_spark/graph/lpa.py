@@ -5,16 +5,32 @@ Pinned deterministic rule (== pcd_spark.oracle.lpa_numpy, the test oracle):
   most frequent label among its neighbors' PREVIOUS labels, ties -> smallest
   label; isolated vertices keep theirs; stop on no change or max_iter.
 
-Physical shape per superstep:
-  gather: symmetrized edges (partitioned on src once, persisted) SHUFFLE_HASH-
-  join labels -> count by (dst, label) — the first shuffle's map-side partial
-  histograms absorb hub fan-in — -> deterministic argmax via
-  min(struct(-cnt, label)) (D6; never F.mode — its tie order is undefined)
-  -> left-join back onto previous labels, where the changed-flag `_delta` is
-  computed in the same select (zero-extra-join convergence, superstep.py).
+Physical shape per superstep (ONE wide shuffle, all-JVM hash aggregation):
 
-Optional two-phase salting (C10) for extreme hub skew; results identical to
-unsalted (tests/test_csr_kernels.py).
+  gather: symmetrized edges (partitioned on src once, persisted) SHUFFLE_HASH-
+  join labels -> messages (dst, label), 2|E| rows.
+
+  scatter: messages are repartition(p, dst)-ed — the single wide shuffle —
+  and because HashPartitioning(dst) satisfies the clustering requirement of
+  BOTH downstream aggregations, the (dst,label) count AND the per-dst argmax
+  run partition-locally in the same stage with zero further exchanges.
+
+  argmax: the deterministic rule (max cnt, ties -> smallest label) is encoded
+  as one max over a single long, score = cnt*K - label with K = max_vid+1,
+  decoded via pmod — never min(struct(...)): struct aggregation buffers are
+  not hash-agg-compatible, so that form silently degrades to SortAggregate
+  and sorts the full 2|E| message stream twice per superstep (measured: this
+  was the dominant LPA cost). Overflow guard: the encoding is used only when
+  max_in_degree * K < 2^62 (checked once at setup); otherwise the struct-min
+  fallback keeps exactness at any scale.
+
+  update: left-join the winners back onto the previous labels; the changed
+  flag `_delta` is computed in the same select (zero-extra-join convergence,
+  superstep.py rule 2).
+
+Optional two-phase salting (C10) for extreme hub skew — partial histograms
+by (dst, salt, label) spread a hub's fan-in across salt_buckets reducers;
+results identical to unsalted (tests/test_csr_kernels.py).
 """
 
 from __future__ import annotations
@@ -27,14 +43,32 @@ from pcd_spark.graph.partition import default_num_parts
 from pcd_spark.graph.superstep import run_supersteps
 from pcd_spark.storage import CheckpointStore
 
+_ENC_LIMIT = 2**62
+
 
 def argmax_label(counts: DataFrame, vid_col: str = "vid") -> DataFrame:
     """D6: per-vertex deterministic argmax over (label, cnt) rows: highest
-    cnt wins, ties -> smallest label — one hash agg via min(struct)."""
+    cnt wins, ties -> smallest label. Portable struct-min form (used by the
+    relational surface and as the overflow fallback; the LPA hot path uses
+    the hash-agg-friendly encoded form below)."""
     return (
         counts.groupBy(vid_col)
         .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias("m"))
         .select(vid_col, F.col("m.label").alias("new_label"))
+    )
+
+
+def argmax_label_encoded(counts: DataFrame, k: int, vid_col: str = "vid") -> DataFrame:
+    """Same semantics as argmax_label via a single max(long):
+    score = cnt*k - label (0 <= label < k) -> max picks highest cnt, then
+    smallest label; decode label = (k - score mod k) mod k. Stays inside
+    whole-stage-codegen HashAggregate (struct-min cannot)."""
+    score = F.col("cnt") * F.lit(k) - F.col("label")
+    kl = F.lit(k)
+    return (
+        counts.groupBy(vid_col)
+        .agg(F.max(score).alias("s"))
+        .select(vid_col, F.pmod(kl - F.pmod(F.col("s"), kl), kl).alias("new_label"))
     )
 
 
@@ -62,6 +96,16 @@ def label_propagation(
     sym.count()
     verts = vertices_of(sym).persist()
 
+    # setup-time bounds for the encoded argmax (one pass each, amortized
+    # over every superstep that then avoids SortAggregate)
+    max_vid = verts.agg(F.max("vid").alias("m")).first()["m"] or 0
+    enc_k = int(max_vid) + 1
+    dmax_row = (
+        sym.groupBy("dst").agg(F.count("*").alias("d")).agg(F.max("d").alias("m")).first()
+    )
+    dmax = int(dmax_row["m"] or 1)
+    use_encoded = dmax * enc_k < _ENC_LIMIT
+
     init = verts.select(
         "vid", F.col("vid").alias("label"), F.lit(1.0).alias("_delta")
     )
@@ -77,12 +121,24 @@ def label_propagation(
             )
             counts = partial.groupBy("dst", "label").agg(F.sum("cnt").alias("cnt"))
         else:
-            counts = msgs.groupBy("dst", "label").agg(F.count("*").alias("cnt"))
-        best = argmax_label(counts.withColumnRenamed("dst", "vid"))
+            # ONE wide shuffle; both aggs below are partition-local because
+            # HashPartitioning(dst) satisfies their clustering requirements
+            counts = (
+                msgs.select("dst", "label")
+                .repartition(p, "dst")
+                .groupBy("dst", "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+        cnts = counts.withColumnRenamed("dst", "vid")
+        best = (
+            argmax_label_encoded(cnts, enc_k)
+            if use_encoded
+            else argmax_label(cnts)
+        )
         new_label = F.coalesce("new_label", "label")
         return (
             state.select("vid", "label")
-            .join(best, "vid", "left")
+            .join(best.hint("shuffle_hash"), "vid", "left")
             .select(
                 "vid",
                 new_label.alias("label"),
@@ -90,13 +146,16 @@ def label_propagation(
             )
         )
 
+    _secs: list[float] = []
     final, iters, metrics = run_supersteps(
         init, step, tol=0.5, max_iter=max_iter,
-        store=store, checkpoint_every=checkpoint_every,
+        store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters
         stats_out["metrics"] = metrics
+        stats_out["step_secs"] = _secs
+        stats_out["encoded_argmax"] = use_encoded
     out = final.select("vid", "label")
     sym.unpersist()
     verts.unpersist()

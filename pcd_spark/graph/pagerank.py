@@ -87,7 +87,7 @@ def pagerank(
         )
         # old rank rides along: state is the vertex universe
         base = state.select("vid", F.col("rank").alias("old")).join(
-            contribs, "vid", "left"
+            contribs.hint("shuffle_hash"), "vid", "left"
         )
         if has_danglers:
             dm = (
@@ -107,13 +107,15 @@ def pagerank(
             F.abs(new_rank - F.col("old")).alias("_delta"),
         )
 
+    _secs: list[float] = []
     final, iters, metrics = run_supersteps(
         init, step, tol=tol, max_iter=max_iter,
-        store=store, checkpoint_every=checkpoint_every,
+        store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters
         stats_out["metrics"] = metrics
+        stats_out["step_secs"] = _secs
     out = final.select("vid", "rank")
     trans.unpersist()
     danglers.unpersist()

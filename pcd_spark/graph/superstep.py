@@ -42,9 +42,13 @@ def run_supersteps(
     store: CheckpointStore | None = None,
     checkpoint_every: int = 5,
     resume: bool = True,
+    step_secs: list[float] | None = None,
 ) -> tuple[DataFrame, int, list[tuple[int, float]]]:
     """Run step_fn until sum(_delta) < tol or max_iter. Returns
-    (final_state_with_delta, iterations_run, [(iteration, delta), ...])."""
+    (final_state_with_delta, iterations_run, [(iteration, delta), ...]).
+    step_secs, if given, collects per-superstep wall seconds (diagnostics)."""
+    import time as _time
+
     state = init_state
     start_iter = 0
     metrics: list[tuple[int, float]] = []
@@ -60,11 +64,14 @@ def run_supersteps(
 
     it = start_iter
     for it in range(start_iter + 1, max_iter + 1):
+        _t0 = _time.time()
         new = step_fn(state, it).localCheckpoint(eager=True)
         delta = float(
             new.agg(F.coalesce(F.sum("_delta"), F.lit(0.0)).alias("d")).first()["d"]
         )
         metrics.append((it, delta))
+        if step_secs is not None:
+            step_secs.append(round(_time.time() - _t0, 3))
 
         if store is not None and (
             it % checkpoint_every == 0 or delta < tol or it == max_iter
