@@ -725,3 +725,96 @@ def h10(spark, sf):
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
     )
+
+
+# =========================================================================
+# I. streaming operators, batch-equivalent form (SURVEY §2 I2/I4; the
+# streaming forms with watermarks live in pcd_spark/streaming and are
+# pytest-verified; these batch twins give them DuckDB oracles)
+# =========================================================================
+
+@q(
+    "i2_tumbling_window_batch",
+    """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, event_type,
+              COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+       FROM events GROUP BY 1, 2""",
+)
+def i2b(spark, sf):
+    # batch twin of streaming.tumbling_counts (same groupBy plan minus the
+    # watermark state); window start = 5-min floor of ts
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total"
+        )
+    )
+
+
+@q(
+    "i4_session_window_batch",
+    """WITH o AS (
+         SELECT user_id, ts,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       s AS (
+         SELECT user_id, ts,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM o)
+       SELECT user_id, MIN(ts) AS sess_start,
+              MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+              COUNT(*) AS n_events
+       FROM s GROUP BY user_id, sid""",
+)
+def i4b(spark, sf):
+    # session windows (30-min inactivity gap) in batch mode — the exact
+    # semantics of streaming session_window; the oracle is the classic
+    # gaps-and-islands rewrite. Session end = last event + gap (exclusive),
+    # so a new event at exactly gap distance starts a NEW session (>= in
+    # the oracle's break condition, not >).
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+# =========================================================================
+# D10 / J4: grouped-aggregate pandas UDAF (SURVEY §2 D10, J4)
+# =========================================================================
+
+@q(
+    "d10_grouped_pandas_udaf",
+    """SELECT event_type,
+              ROUND(SUM(value * (user_id % 10 + 1)) / SUM(user_id % 10 + 1), 6)
+                AS wavg
+       FROM events GROUP BY event_type""",
+)
+def d10(spark, sf):
+    # J4: Arrow-batched numpy UDAF (GROUPED_AGG) — weighted mean per group.
+    # Per-group series arrive as one Arrow batch; no per-row Python.
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf, PandasUDFType
+
+    wavg = pandas_udf(
+        lambda v, w: float(np.round(np.sum(v * w) / np.sum(w), 6)),
+        "double",
+        PandasUDFType.GROUPED_AGG,
+    )
+    e = load(spark, sf, "events").select(
+        "event_type",
+        F.col("value").alias("v"),
+        (F.col("user_id") % 10 + 1).cast("double").alias("w"),
+    )
+    return e.groupBy("event_type").agg(wavg("v", "w").alias("wavg"))

@@ -452,3 +452,105 @@ def d5(spark, sf):
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
     )
+
+
+# =========================================================================
+# SimHash + embedding near-dup (dedup family, task mandate)
+# =========================================================================
+
+_SIMHASH_BITS = 48  # 12 hex chars of md5 -> fits BIGINT in both engines
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s{b} >= 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""WITH toks AS (
+         SELECT doc_id, UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS tok
+         FROM documents),
+       h AS (SELECT doc_id,
+                    CAST(concat('0x', SUBSTR(md5(tok), 1, 12)) AS BIGINT) AS hv
+             FROM toks),
+       s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+       SELECT doc_id, {assemble} AS simhash FROM s"""
+
+
+@qt("x9_simhash", _simhash_sql())
+def x9(spark, sf):
+    # SimHash document fingerprint: token -> 48-bit md5 fragment; per bit,
+    # majority vote over tokens (tie -> 1). One explode + one hash-groupBy
+    # with 48 codegen'd SUMs — shuffle carries (doc_id, 48 longs), never the
+    # text; near-dup candidates are then hamming-close fingerprints.
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("([a-z0-9]+)"), F.lit(1))
+        ).alias("tok"),
+    )
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long").alias("hv"),
+    )
+    sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1).cast("long") * (1 << b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.alias("simhash"))
+
+
+@qt(
+    "v3_embedding_neardup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       b AS (SELECT vec_id, emb,
+                    CASE WHEN emb[1] >= 0 THEN 8 ELSE 0 END
+                    + CASE WHEN emb[2] >= 0 THEN 4 ELSE 0 END
+                    + CASE WHEN emb[3] >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN emb[4] >= 0 THEN 1 ELSE 0 END AS bucket
+             FROM e),
+       pairs AS (
+         SELECT a.vec_id AS v1, c.vec_id AS v2,
+                ROUND(list_dot_product(a.emb, c.emb)
+                      / (SQRT(list_dot_product(a.emb, a.emb))
+                         * SQRT(list_dot_product(c.emb, c.emb))), 6) AS cosine
+         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       SELECT v1, v2, cosine FROM pairs WHERE cosine >= 0.35""",
+)
+def v3(spark, sf):
+    # embedding-cosine near-dup, the scale path: sign-LSH bucket join (the
+    # shuffle key is the bucket -> cost scales with bucket sizes, not n^2),
+    # exact cosine verification inside each bucket. False negatives are the
+    # LSH recall tradeoff; v1 is the exactness baseline.
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    bucket = (
+        F.when(F.col("emb")[0] >= 0, 8).otherwise(0)
+        + F.when(F.col("emb")[1] >= 0, 4).otherwise(0)
+        + F.when(F.col("emb")[2] >= 0, 2).otherwise(0)
+        + F.when(F.col("emb")[3] >= 0, 1).otherwise(0)
+    )
+    b = e.select("vec_id", "emb", bucket.alias("bucket"))
+    a = b.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"), "bucket")
+    c = b.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"), "bucket")
+    pairs = a.join(c, ["bucket"]).filter(F.col("v1") < F.col("v2"))
+    cos = F.round(_cos(F.col("e1"), F.col("e2")), 6)
+    return pairs.select("v1", "v2", cos.alias("cosine")).filter(
+        F.col("cosine") >= 0.35
+    )
