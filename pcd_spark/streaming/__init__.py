@@ -5,4 +5,5 @@ from pcd_spark.streaming.ingest import (  # noqa: F401
     session_windows,
     dedup_edges_within_watermark,
     start_edge_ingestion,
+    stateful_user_totals,
 )

@@ -133,3 +133,32 @@ def start_edge_ingestion(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """J6: custom stateful operator via applyInPandasWithState — per-user
+    running (event count, value total) maintained across micro-batches in
+    explicit GroupState (the Arrow-batched replacement for per-row
+    mapGroupsWithState). Emits one updated row per user per batch; the
+    latest row per user equals the batch groupBy sum over everything seen.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [round(total, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n long, total double",
+        "n long, total double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -124,3 +124,25 @@ def test_snap_reader_roundtrip(spark, graphs, snap_dir):
     df = read_snap_edges(spark, f"{snap_dir}/karate.txt")
     got = sorted((r["src"], r["dst"]) for r in df.collect())
     assert got == sorted(graphs["karate"]["edges"])
+
+
+def test_lpa_struct_fallback_equals_encoded(spark, graphs, monkeypatch):
+    """The encoded-argmax fast path and the struct-min overflow fallback are
+    the same pinned rule; force the fallback (pretend the encoding would
+    overflow) and require identical labels on a hub-skewed graph."""
+    import pcd_spark.graph.lpa as lpa_mod
+    from pcd_spark.graph import label_propagation
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, graphs["ba_1000"]["edges"])
+    s1: dict = {}
+    fast = {r["vid"]: r["label"]
+            for r in label_propagation(e, max_iter=10, stats_out=s1).collect()}
+    assert s1["encoded_argmax"] is True
+
+    monkeypatch.setattr(lpa_mod, "_ENC_LIMIT", 0)
+    s2: dict = {}
+    slow = {r["vid"]: r["label"]
+            for r in label_propagation(e, max_iter=10, stats_out=s2).collect()}
+    assert s2["encoded_argmax"] is False
+    assert fast == slow

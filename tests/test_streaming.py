@@ -173,3 +173,28 @@ def test_edge_ingestion_foreachbatch_exactly_once(spark, stream_dirs, tmp_path):
     table = spark.read.parquet(out)
     rows = sorted((r["src"], r["dst"]) for r in table.collect())
     assert rows == [(1, 2), (2, 3), (3, 4)]  # duplicates collapsed exactly-once
+
+
+def test_stateful_user_totals_across_batches(spark, stream_dirs):
+    # J6: state must carry across micro-batches — two files, one per batch;
+    # the LAST emitted row per user equals the all-data batch aggregate.
+    src, ckpt, _ = stream_dirs
+    import time as _t
+
+    from pcd_spark.streaming import stateful_user_totals
+
+    _drop_file(_mk_events(spark, [(0, 1, "v", 10), (1, 2, "v", 5)]), src, "b0.parquet")
+    _t.sleep(1.1)
+    _drop_file(_mk_events(spark, [(2, 1, "v", 7)]), src, "b1.parquet")
+
+    got = _run_to_memory(
+        stateful_user_totals(stream_events(spark, src, max_files_per_trigger=1)),
+        "stateful_t", ckpt, output_mode="update",
+    ).collect()
+    latest = {}
+    for r in got:  # memory sink appends update rows; later rows overwrite
+        prev = latest.get(r["user_id"])
+        if prev is None or r["n"] >= prev[0]:
+            latest[r["user_id"]] = (r["n"], r["total"])
+    assert latest[1] == (2, 17.0), latest
+    assert latest[2] == (1, 5.0), latest
