@@ -246,3 +246,39 @@ def vertex_dictionary_hashed(corpus: DataFrame) -> tuple[DataFrame, int]:
         verts.groupBy("vid").count().filter(F.col("count") > 1).count()
     )
     return verts, int(collisions)
+
+
+def extract_imports_udtf(corpus: DataFrame) -> DataFrame:
+    """J5: Python UDTF import extractor — the extensibility seam for
+    languages where a single regex isn't enough (parser-backed extraction).
+    Arrow-transferred (useArrow) but still per-row eval, so the DEFAULT K8
+    path stays extract_imports (JVM regexp_extract_all); this exists for
+    parity of surface and must return the identical row multiset on the
+    regex-expressible languages (tests/test_corpus.py).
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    py_from, py_import, js_require = _PY_FROM, _PY_IMPORT, _JS_REQUIRE
+
+    @udtf(returnType="module string", useArrow=True)
+    class ImportExtractor:
+        def eval(self, lang: str, content: str):
+            if lang == "python":
+                for m in re.finditer(py_from, content):
+                    yield (m.group(1),)
+                for m in re.finditer(py_import, content):
+                    yield (m.group(1),)
+            else:
+                for m in re.finditer(js_require, content):
+                    yield (re.sub(r"\.(py|js)$", "", m.group(1)).replace("/", "."),)
+
+    spark = corpus.sparkSession
+    spark.udtf.register("pcd_extract_imports", ImportExtractor)
+    corpus.createOrReplaceTempView("_pcd_udtf_corpus")
+    return spark.sql(
+        """SELECT c.repo, c.path, t.module
+           FROM _pcd_udtf_corpus c,
+           LATERAL pcd_extract_imports(c.lang, c.content) t"""
+    )

@@ -129,3 +129,19 @@ def test_corpus_table_snapshots(spark, corpus, tmp_path):
     assert t.read(spark, 0).count() == corpus.count()
     # snapshot log survives and is ordered
     assert [s["id"] for s in t.snapshots()] == [0, 1]
+
+
+def test_udtf_extractor_matches_regex_path(spark):
+    """J5 UDTF and H2 JVM-regex extraction must produce the same multiset of
+    (repo, path, module) rows on the synthetic corpus."""
+    from pcd_spark.corpus import (
+        extract_imports,
+        extract_imports_udtf,
+        latest_commits,
+        synth_corpus,
+    )
+
+    latest = latest_commits(synth_corpus(spark, repos=5, files_per_repo=20, seed=7))
+    a = sorted(map(tuple, extract_imports(latest).collect()))
+    b = sorted(map(tuple, extract_imports_udtf(latest).collect()))
+    assert a == b and len(a) > 0
