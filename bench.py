@@ -44,7 +44,10 @@ BENCH_QUERIES = [
     "x1_dedup_exact",
     "x3_minhash_lsh_buckets",
     "x7_langid_heuristic",
+    "x9_simhash",
     "v1_cosine_topk",
+    "v3_embedding_neardup",
+    "i4_session_window_batch",
     "k6_triangles",
 ]
 
