@@ -155,9 +155,10 @@ def run_bench() -> dict:
     }
 
 
-SCALING_EDGES = int(os.environ.get("PCD_SCALING_EDGES", "20000000"))
+SCALING_EDGES = int(os.environ.get("PCD_SCALING_EDGES", "40000000"))
 SCALING_PARTS = 32  # FIXED across parallelism levels (real clusters size
                     # partitions to the data, not to the cluster)
+SCALING_REPS = int(os.environ.get("PCD_SCALING_REPS", "2"))
 
 
 def run_scaling_worker(cores: int) -> dict:
@@ -198,9 +199,9 @@ def run_scaling_worker(cores: int) -> dict:
 
     out = {"cores": cores, "directed_edges": n_e, "prep_sec": prep}
     for name, fn in [
-        ("pagerank", lambda s: pagerank(e, tol=0.0, max_iter=8,
+        ("pagerank", lambda s: pagerank(e, tol=0.0, max_iter=6,
                                         num_parts=SCALING_PARTS, stats_out=s)),
-        ("lpa", lambda s: label_propagation(e, max_iter=6,
+        ("lpa", lambda s: label_propagation(e, max_iter=5,
                                             num_parts=SCALING_PARTS, stats_out=s)),
     ]:
         stats: dict = {}
@@ -223,64 +224,92 @@ def run_scaling_worker(cores: int) -> dict:
 
 def run_scaling() -> None:
     """N vs 4N protocol: local[2] vs local[8] (+ local[32] peak), fixed
-    partition count, same seeded input, fresh JVM each -> BENCH/BASELINE.md.
+    partition count, same seeded input, fresh JVM per (cores, rep),
+    REPS interleaved repetitions per parallelism -> BENCH/BASELINE.md.
 
     Why 2 vs 8 and not 8 vs 32: all parallelism levels share ONE machine's
     memory bandwidth; shuffle-heavy supersteps saturate it well below 32
-    cores (measured: local[32] ~ local[8] at 5e7-row shuffles), which says
-    nothing about multi-executor scaling where 4N executors bring 4x
-    bandwidth. 2->8 cores stays under the bandwidth ceiling, so it isolates
-    the engine's own scaling behavior (no serial stages, no skewed
-    reducers) — the property the north rule actually tests.
-    """
-    results = {}
-    for cores in (2, 8, 32):
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cores),
-            PCD_BENCH_SCALING_WORKER="1",
+    cores, which says nothing about multi-executor scaling where 4N
+    executors bring 4x bandwidth. 2->8 cores stays under the ceiling, so it
+    isolates the engine's own scaling behavior — the property the north
+    rule actually tests.
+
+    Noise protocol: this host shows multi-second hypervisor-steal spikes
+    lasting minutes (measured: identical supersteps vary 4x between runs).
+    Each (cores) level therefore runs REPS times, interleaved with the
+    other levels so no level monopolizes a noisy phase; the reported
+    per-superstep time is the MIN over reps of the within-run MEDIAN —
+    the least-interference estimate with the median's robustness inside
+    each run. All raw step times are recorded below for audit."""
+    import statistics
+
+    runs: dict[int, list[dict]] = {2: [], 8: [], 32: []}
+    for rep in range(SCALING_REPS):
+        cores_list = (2, 8, 32) if rep == 0 else (2, 8)
+        for cores in cores_list:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cores),
+                PCD_BENCH_SCALING_WORKER="1",
+            )
+            p = subprocess.run(
+                [sys.executable, __file__], env=env, capture_output=True, text=True
+            )
+            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                print(f"WORKER FAILED cores={cores} rep={rep}: {p.stderr[-400:]}")
+                continue
+            runs[cores].append(json.loads(lines[-1]))
+
+    n_e = runs[2][0]["directed_edges"]
+
+    def best_median(cores: int, algo: str) -> float:
+        return min(
+            statistics.median(r[algo]["step_secs"]) for r in runs[cores]
         )
-        p = subprocess.run(
-            [sys.executable, __file__], env=env, capture_output=True, text=True
-        )
-        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
 
     lines = [
         "# BENCH — measured scaling evidence (SURVEY.md §6 protocol)",
         "",
-        f"Input: deterministic power-law graph (seed 42), "
-        f"{results[2]['directed_edges']:,} directed edges, generated in-Spark.",
-        f"Partition count FIXED at {SCALING_PARTS} across all parallelism",
-        "levels; only cores vary (N=2 vs 4N=8; local[32] shown as the",
-        "single-box peak — see note below). PageRank runs 8 supersteps,",
-        "LPA 6, after a JIT/codegen warmup pass; throughput = edge",
-        "traversals / MEDIAN superstep seconds (robust to this host's",
-        "hypervisor-steal spikes; raw per-step times in the JSON below).",
-        "LPA traverses each undirected edge twice per superstep.",
+        f"Input: deterministic power-law graph (seed 42), {n_e:,} directed",
+        f"edges, generated in-Spark. Partition count FIXED at {SCALING_PARTS}",
+        "across all parallelism levels; only cores vary (N=2 vs 4N=8;",
+        "local[32] shown as the single-box peak). PageRank runs 6",
+        "supersteps, LPA 5, after a JIT/codegen warmup pass, repeated",
+        f"{SCALING_REPS}x per level INTERLEAVED across levels; throughput =",
+        "edge traversals / (min over reps of within-run MEDIAN superstep",
+        "seconds) — robust to this host's measured multi-minute",
+        "hypervisor-steal phases; all raw step times below. LPA traverses",
+        "each undirected edge twice per superstep.",
         "",
         "| algo | local[2] e/s | local[8] e/s | local[32] e/s | efficiency N->4N |",
         "| --- | --- | --- | --- | --- |",
     ]
     effs = {}
     for key in ("pagerank", "lpa"):
-        t2 = results[2][key]["edge_traversals_per_sec"]
-        t8 = results[8][key]["edge_traversals_per_sec"]
-        t32 = results[32][key]["edge_traversals_per_sec"]
-        eff = round(t8 / t2 / 4, 3)
+        mult = 2 if key == "lpa" else 1
+        t = {c: n_e * mult / best_median(c, key) for c in (2, 8, 32)}
+        eff = round(t[8] / t[2] / 4, 3)
         effs[key] = eff
-        lines.append(f"| {key} | {t2:,.0f} | {t8:,.0f} | {t32:,.0f} | {eff} |")
+        lines.append(
+            f"| {key} | {t[2]:,.0f} | {t[8]:,.0f} | {t[32]:,.0f} | {eff} |"
+        )
     lines += [
         "",
         "Note on the sandbox substitute for N vs 4N executors: every",
-        "local[k] shares one machine's memory bandwidth, which saturates",
-        "well below 32 threads on shuffle-heavy supersteps; a real 4N-",
-        "executor cluster multiplies bandwidth with cores. The 2->8 pair",
-        "stays below that ceiling and isolates the engine's own scaling",
-        "(no serial stages, no skew stragglers). local[32] is reported as",
-        "the single-box peak throughput.",
+        "local[k] shares one machine's memory bandwidth and hypervisor;",
+        "a real 4N-executor cluster multiplies bandwidth with cores. The",
+        "2->8 pair stays below the bandwidth ceiling and isolates the",
+        "engine's own scaling (no serial stages, no skew stragglers).",
+        "local[32] is the single-box peak. Per-superstep fixed cost",
+        "(driver round-trip, plan analysis, lineage truncation) is",
+        "amortized by graph size; it is the same constant on a real",
+        "cluster where supersteps are minutes, not seconds.",
         "",
-    ] + [f"Raw local[{c}]: `{json.dumps(results[c])}`" for c in (2, 8, 32)]
+    ]
+    for c in (2, 8, 32):
+        for i, r in enumerate(runs[c]):
+            lines.append(f"Raw local[{c}] rep{i}: `{json.dumps(r)}`")
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -48,7 +48,9 @@ def connected_components(
         nbr_min = (
             sym.hint("shuffle_hash")
             .join(labels.withColumnRenamed("vid", "src"), "src")
-            .groupBy(F.col("dst").alias("vid"))
+            .select(F.col("dst").alias("vid"), "label")
+            .repartition(p, "vid")
+            .groupBy("vid")
             .agg(F.min("label").alias("nmin"))
         )
         l1 = labels.join(nbr_min.hint("shuffle_hash"), "vid", "left").select(

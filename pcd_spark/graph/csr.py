@@ -114,13 +114,25 @@ def pagerank_csr(
     blocks = build_csr_blocks(edges, p, weight_col, normalize=True)
     danglers = verts.join(
         edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
-    ).persist()
+    )
     has_danglers = danglers.count() > 0
 
     teleport = (1.0 - damping) / n
-    init = verts.select(
-        "vid", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("_delta")
-    )
+    if has_danglers:
+        init = (
+            verts.join(danglers.select("vid", F.lit(True).alias("dang")), "vid", "left")
+            .select(
+                "vid",
+                F.lit(1.0 / n).alias("rank"),
+                F.coalesce("dang", F.lit(False)).alias("dang"),
+                F.lit(1.0).alias("_delta"),
+            )
+        )
+    else:
+        init = verts.select(
+            "vid", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("_delta")
+        )
+    extras: dict = {}
 
     def kernel(key, block_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         if block_pdf.empty or state_pdf.empty:
@@ -150,35 +162,43 @@ def pagerank_csr(
             .applyInPandas(kernel, "dst long, partial double")
         )
         contribs = (
-            partials.groupBy("dst").agg(F.sum("partial").alias("contrib"))
+            partials.repartition(p, "dst")
+            .groupBy("dst").agg(F.sum("partial").alias("contrib"))
             .withColumnRenamed("dst", "vid")
         )
-        base = state.select("vid", F.col("rank").alias("old")).join(
+        keep = ["vid", F.col("rank").alias("old")] + (
+            ["dang"] if has_danglers else []
+        )
+        base = state.select(*keep).join(
             contribs.hint("shuffle_hash"), "vid", "left"
         )
-        if has_danglers:
-            dm = (
-                state.select("vid", "rank")
-                .join(danglers, "vid", "left_semi")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
-            )
-            base = base.crossJoin(F.broadcast(dm))
-            extra = F.col("dmass") / n
-        else:
-            extra = F.lit(0.0)
+        extra = (
+            F.lit(float(extras.get("dmass") or 0.0) / n)
+            if has_danglers
+            else F.lit(0.0)
+        )
         new_rank = F.lit(teleport) + F.lit(damping) * (
             F.coalesce("contrib", F.lit(0.0)) + extra
         )
-        return base.select(
-            "vid",
+        out_cols = [
+            F.col("vid"),
             new_rank.alias("rank"),
             F.abs(new_rank - F.col("old")).alias("_delta"),
-        )
+        ]
+        if has_danglers:
+            out_cols.insert(2, F.col("dang"))
+        return base.select(*out_cols)
 
     _secs: list[float] = []
+    extra_aggs = (
+        {"dmass": F.sum(F.when(F.col("dang"), F.col("rank")).otherwise(F.lit(0.0)))}
+        if has_danglers
+        else None
+    )
     final, iters, metrics = run_supersteps(
         init, step, tol=tol, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
+        extra_aggs=extra_aggs, extras_out=extras,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters
@@ -186,7 +206,6 @@ def pagerank_csr(
         stats_out["step_secs"] = _secs
     out = final.select("vid", "rank")
     blocks.unpersist()
-    danglers.unpersist()
     verts.unpersist()
     return out
 

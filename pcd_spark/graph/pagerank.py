@@ -11,13 +11,16 @@ Physical shape per superstep (measured + tuned in this sandbox):
   - gather join uses a SHUFFLE_HASH hint: the sort in sort-merge join is
     pure waste when the big side is pre-partitioned and reused (measured
     ~2x per-superstep win at 10^7 edges);
-  - ONE data shuffle per superstep: contributions aggregated by dst with
-    automatic map-side partial sums (hub fan-in collapses mapper-side);
+  - ONE wide data shuffle per superstep: explicit repartition(p, dst) then
+    partition-local aggregation (AQE would coalesce a plain groupBy exchange
+    down to a handful of reduce tasks, capping parallelism);
   - new rank and |Δ| are computed in the SAME select by left-joining the
     contributions back onto the previous state (old rank already in hand),
     so convergence costs zero extra joins (superstep.py rule 2);
-  - dangling-mass is a 1-row broadcast cross-join, built only when dangling
-    vertices exist.
+  - dangling mass: a boolean flag rides in the vertex state; the mass is
+    summed in the SAME driver round-trip as the convergence delta
+    (run_supersteps extra_aggs) and enters the next superstep as a literal —
+    no per-superstep join, no broadcast, no extra job.
 """
 
 from __future__ import annotations
@@ -65,52 +68,81 @@ def pagerank(
     )
     trans.count()  # materialize the static side once
 
-    # dangling vertices: no out-edges (C6 left anti); subtree built only if any
+    # dangling vertices: no out-edges (C6 left anti). A boolean flag rides in
+    # the state; per-superstep dangling MASS is summed in the same driver
+    # round-trip as the convergence delta (run_supersteps extra_aggs) and
+    # enters the next step as a literal — no per-superstep join/broadcast.
     danglers = verts.join(
         edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
-    ).persist()
+    )
     has_danglers = danglers.count() > 0
 
     teleport = (1.0 - damping) / n
-    init = verts.select(
-        "vid", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("_delta")
-    )
+    state_cols = ["vid", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("_delta")]
+    if has_danglers:
+        verts_flagged = verts.join(
+            danglers.select("vid", F.lit(True).alias("dang")), "vid", "left"
+        ).select("vid", F.coalesce("dang", F.lit(False)).alias("dang"))
+        init = verts_flagged.select(
+            "vid", F.lit(1.0 / n).alias("rank"), "dang", F.lit(1.0).alias("_delta")
+        )
+    else:
+        init = verts.select(*state_cols)
+    extras: dict = {}
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         ranks = state.select("vid", "rank")
+        # ONE wide shuffle: explicit repartition(p, dst), then the sum runs
+        # partition-locally (HashPartitioning(dst) satisfies the clustering).
+        # A plain groupBy(dst) exchange would be AQE-coalesced by size
+        # (~64MB advisory -> a handful of reduce tasks no matter how many
+        # cores), capping superstep parallelism; the explicit repartition
+        # pins the reduce width to p. Map-side combine lost this way is
+        # negligible here (per-partition distinct dst ~= rows).
         contribs = (
             trans.hint("shuffle_hash")
             .join(ranks.withColumnRenamed("vid", "src"), "src")
+            .select("dst", (F.col("p") * F.col("rank")).alias("pc"))
+            .repartition(p, "dst")
             .groupBy("dst")
-            .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
+            .agg(F.sum("pc").alias("contrib"))
             .withColumnRenamed("dst", "vid")
         )
         # old rank rides along: state is the vertex universe
-        base = state.select("vid", F.col("rank").alias("old")).join(
+        keep = ["vid", F.col("rank").alias("old")] + (
+            ["dang"] if has_danglers else []
+        )
+        base = state.select(*keep).join(
             contribs.hint("shuffle_hash"), "vid", "left"
         )
         if has_danglers:
-            dm = (
-                ranks.join(danglers, "vid", "left_semi")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
-            )
-            base = base.crossJoin(F.broadcast(dm))
-            extra = F.col("dmass") / n
+            # dangling mass of the PREVIOUS state, summed by the driver in
+            # the same round-trip as the convergence delta — a literal here
+            extra = F.lit(float(extras.get("dmass") or 0.0) / n)
         else:
             extra = F.lit(0.0)
         new_rank = F.lit(teleport) + F.lit(damping) * (
             F.coalesce("contrib", F.lit(0.0)) + extra
         )
-        return base.select(
-            "vid",
+        out_cols = [
+            F.col("vid"),
             new_rank.alias("rank"),
             F.abs(new_rank - F.col("old")).alias("_delta"),
-        )
+        ]
+        if has_danglers:
+            out_cols.insert(2, F.col("dang"))
+        return base.select(*out_cols)
 
     _secs: list[float] = []
+    extra_aggs = (
+        {"dmass": F.sum(F.when(F.col("dang"), F.col("rank")).otherwise(F.lit(0.0)))}
+        if has_danglers
+        else None
+    )
     final, iters, metrics = run_supersteps(
         init, step, tol=tol, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
+        extra_aggs=extra_aggs, extras_out=extras,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters
@@ -118,6 +150,5 @@ def pagerank(
         stats_out["step_secs"] = _secs
     out = final.select("vid", "rank")
     trans.unpersist()
-    danglers.unpersist()
     verts.unpersist()
     return out
