@@ -243,14 +243,21 @@ def run_scaling() -> None:
     each run. All raw step times are recorded below for audit."""
     import statistics
 
-    runs: dict[int, list[dict]] = {2: [], 8: [], 32: []}
+    levels = tuple(
+        int(c) for c in os.environ.get("PCD_SCALING_CORES", "2,8,32").split(",")
+    )
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
     for rep in range(SCALING_REPS):
-        cores_list = (2, 8, 32) if rep == 0 else (2, 8)
+        cores_list = levels if rep == 0 else tuple(c for c in levels if c != 32)
         for cores in cores_list:
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cores),
                 PCD_BENCH_SCALING_WORKER="1",
+                # headroom for wide-parallelism reduce stages on big graphs
+                SPARK_GRAFT_DRIVER_MEM=os.environ.get(
+                    "SPARK_GRAFT_DRIVER_MEM", "80g"
+                ),
             )
             p = subprocess.run(
                 [sys.executable, __file__], env=env, capture_output=True, text=True
@@ -261,9 +268,12 @@ def run_scaling() -> None:
                 continue
             runs[cores].append(json.loads(lines[-1]))
 
-    n_e = runs[2][0]["directed_edges"]
+    have = [c for c in levels if runs[c]]
+    n_e = runs[have[0]][0]["directed_edges"]
 
     def best_median(cores: int, algo: str) -> float:
+        if not runs.get(cores):
+            return float("nan")
         return min(
             statistics.median(r[algo]["step_secs"]) for r in runs[cores]
         )
@@ -291,8 +301,9 @@ def run_scaling() -> None:
         t = {c: n_e * mult / best_median(c, key) for c in (2, 8, 32)}
         eff = round(t[8] / t[2] / 4, 3)
         effs[key] = eff
+        f32 = f"{t[32]:,.0f}" if t[32] == t[32] else "n/a"
         lines.append(
-            f"| {key} | {t[2]:,.0f} | {t[8]:,.0f} | {t[32]:,.0f} | {eff} |"
+            f"| {key} | {t[2]:,.0f} | {t[8]:,.0f} | {f32} | {eff} |"
         )
     lines += [
         "",
@@ -307,7 +318,7 @@ def run_scaling() -> None:
         "cluster where supersteps are minutes, not seconds.",
         "",
     ]
-    for c in (2, 8, 32):
+    for c in have:
         for i, r in enumerate(runs[c]):
             lines.append(f"Raw local[{c}] rep{i}: `{json.dumps(r)}`")
     os.makedirs("BENCH", exist_ok=True)
