@@ -818,3 +818,22 @@ def d10(spark, sf):
         (F.col("user_id") % 10 + 1).cast("double").alias("w"),
     )
     return e.groupBy("event_type").agg(wavg("v", "w").alias("wavg"))
+
+
+@q(
+    "d8_collect_set",
+    """SELECT l_orderkey,
+              list_sort(list_distinct(list(l_returnflag))) AS flags,
+              COUNT(*) AS n
+       FROM lineitem GROUP BY l_orderkey""",
+)
+def d8(spark, sf):
+    # D8: per-group array build; sort_array pins a deterministic order so
+    # the result is comparable across engines/partitionings. At scale this
+    # is the small-neighborhood adjacency builder (collect_list); the CSR
+    # path (K2) replaces it when arrays get large.
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        F.count("*").alias("n"),
+    )
