@@ -189,6 +189,17 @@ def pagerank_csr(
             out_cols.insert(2, F.col("dang"))
         return base.select(*out_cols)
 
+    def resume_fix(state: DataFrame) -> DataFrame:
+        # pre-'dang' checkpoint compatibility — same as pagerank.resume_fix
+        if has_danglers and "dang" not in state.columns:
+            state = state.join(
+                danglers.select("vid", F.lit(True).alias("dang")), "vid", "left"
+            ).select(
+                "vid", "rank", F.coalesce("dang", F.lit(False)).alias("dang"),
+                "_delta",
+            )
+        return state
+
     _secs: list[float] = []
     extra_aggs = (
         {"dmass": F.sum(F.when(F.col("dang"), F.col("rank")).otherwise(F.lit(0.0)))}
@@ -198,7 +209,7 @@ def pagerank_csr(
     final, iters, metrics = run_supersteps(
         init, step, tol=tol, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
-        extra_aggs=extra_aggs, extras_out=extras,
+        extra_aggs=extra_aggs, extras_out=extras, resume_fix=resume_fix,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters
@@ -232,12 +243,15 @@ def label_propagation_csr(
     blocks = build_csr_blocks(sym, p, weight_col=None, normalize=False)
     verts = vertices_of(sym).persist()
 
-    max_vid = verts.agg(F.max("vid").alias("m")).first()["m"] or 0
-    enc_k = int(max_vid) + 1
+    # offset-encoded bounds: labels are vertex ids, which are SIGNED on the
+    # prod xxhash64 path — same guard/offset as label_propagation()
+    bounds = verts.agg(F.min("vid").alias("lo"), F.max("vid").alias("hi")).first()
+    min_vid = int(bounds["lo"] or 0)
+    enc_k = int(bounds["hi"] or 0) - min_vid + 1
     dmax_row = (
         sym.groupBy("dst").agg(F.count("*").alias("d")).agg(F.max("d").alias("m")).first()
     )
-    use_encoded = int(dmax_row["m"] or 1) * enc_k < _ENC_LIMIT
+    use_encoded = enc_k > 0 and (int(dmax_row["m"] or 1) + 1) * enc_k < _ENC_LIMIT
 
     init = verts.select(
         "vid", F.col("vid").alias("label"), F.lit(1.0).alias("_delta")
@@ -282,7 +296,7 @@ def label_propagation_csr(
             .withColumnRenamed("dst", "vid")
         )
         best = (
-            argmax_label_encoded(counts, enc_k)
+            argmax_label_encoded(counts, enc_k, min_vid)
             if use_encoded
             else argmax_label(counts)
         )

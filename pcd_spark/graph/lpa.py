@@ -58,17 +58,30 @@ def argmax_label(counts: DataFrame, vid_col: str = "vid") -> DataFrame:
     )
 
 
-def argmax_label_encoded(counts: DataFrame, k: int, vid_col: str = "vid") -> DataFrame:
+def argmax_label_encoded(
+    counts: DataFrame, k: int, offset: int = 0, vid_col: str = "vid"
+) -> DataFrame:
     """Same semantics as argmax_label via a single max(long):
-    score = cnt*k - label (0 <= label < k) -> max picks highest cnt, then
-    smallest label; decode label = (k - score mod k) mod k. Stays inside
-    whole-stage-codegen HashAggregate (struct-min cannot)."""
-    score = F.col("cnt") * F.lit(k) - F.col("label")
+    score = cnt*k - (label - offset), requiring 0 <= label - offset < k
+    -> max picks highest cnt, then smallest label; decode
+    label = offset + (k - score mod k) mod k. Stays inside
+    whole-stage-codegen HashAggregate (struct-min cannot).
+
+    offset = min(label) supports SIGNED label domains — the prod vid path is
+    xxhash64(repo, path) which is signed, so labels (== vids under the LPA
+    init rule) are routinely negative; encoding the raw label would decode
+    to a nonexistent vertex (round-1 ADVICE high finding)."""
+    score = F.col("cnt") * F.lit(k) - (F.col("label") - F.lit(offset))
     kl = F.lit(k)
     return (
         counts.groupBy(vid_col)
         .agg(F.max(score).alias("s"))
-        .select(vid_col, F.pmod(kl - F.pmod(F.col("s"), kl), kl).alias("new_label"))
+        .select(
+            vid_col,
+            (F.lit(offset) + F.pmod(kl - F.pmod(F.col("s"), kl), kl)).alias(
+                "new_label"
+            ),
+        )
     )
 
 
@@ -97,14 +110,19 @@ def label_propagation(
     verts = vertices_of(sym).persist()
 
     # setup-time bounds for the encoded argmax (one pass each, amortized
-    # over every superstep that then avoids SortAggregate)
-    max_vid = verts.agg(F.max("vid").alias("m")).first()["m"] or 0
-    enc_k = int(max_vid) + 1
+    # over every superstep that then avoids SortAggregate); labels are always
+    # vertex ids, so [min_vid, max_vid] bounds the label domain — the offset
+    # keeps the encoding valid for signed (xxhash64) vid spaces
+    bounds = verts.agg(
+        F.min("vid").alias("lo"), F.max("vid").alias("hi")
+    ).first()
+    min_vid = int(bounds["lo"] or 0)
+    enc_k = int(bounds["hi"] or 0) - min_vid + 1
     dmax_row = (
         sym.groupBy("dst").agg(F.count("*").alias("d")).agg(F.max("d").alias("m")).first()
     )
     dmax = int(dmax_row["m"] or 1)
-    use_encoded = dmax * enc_k < _ENC_LIMIT
+    use_encoded = enc_k > 0 and (dmax + 1) * enc_k < _ENC_LIMIT
 
     init = verts.select(
         "vid", F.col("vid").alias("label"), F.lit(1.0).alias("_delta")
@@ -131,7 +149,7 @@ def label_propagation(
             )
         cnts = counts.withColumnRenamed("dst", "vid")
         best = (
-            argmax_label_encoded(cnts, enc_k)
+            argmax_label_encoded(cnts, enc_k, min_vid)
             if use_encoded
             else argmax_label(cnts)
         )

@@ -133,6 +133,18 @@ def pagerank(
             out_cols.insert(2, F.col("dang"))
         return base.select(*out_cols)
 
+    def resume_fix(state: DataFrame) -> DataFrame:
+        # a checkpoint written by a pre-'dang' engine version lacks the flag;
+        # re-derive it from the danglers set so extra_aggs can reference it
+        if has_danglers and "dang" not in state.columns:
+            state = state.join(
+                danglers.select("vid", F.lit(True).alias("dang")), "vid", "left"
+            ).select(
+                "vid", "rank", F.coalesce("dang", F.lit(False)).alias("dang"),
+                "_delta",
+            )
+        return state
+
     _secs: list[float] = []
     extra_aggs = (
         {"dmass": F.sum(F.when(F.col("dang"), F.col("rank")).otherwise(F.lit(0.0)))}
@@ -142,7 +154,7 @@ def pagerank(
     final, iters, metrics = run_supersteps(
         init, step, tol=tol, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
-        extra_aggs=extra_aggs, extras_out=extras,
+        extra_aggs=extra_aggs, extras_out=extras, resume_fix=resume_fix,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters

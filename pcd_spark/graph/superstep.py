@@ -45,6 +45,7 @@ def run_supersteps(
     step_secs: list[float] | None = None,
     extra_aggs: dict | None = None,
     extras_out: dict | None = None,
+    resume_fix: Callable[[DataFrame], DataFrame] | None = None,
 ) -> tuple[DataFrame, int, list[tuple[int, float]]]:
     """Run step_fn until sum(_delta) < tol or max_iter. Returns
     (final_state_with_delta, iterations_run, [(iteration, delta), ...]).
@@ -66,6 +67,11 @@ def run_supersteps(
         m = store.latest()
         if m is not None:
             state = store.read_state(init_state.sparkSession, m.iteration)
+            if resume_fix is not None:
+                # schema-compatibility hook: a checkpoint written by an older
+                # engine version may lack derived state columns (e.g. the
+                # PageRank 'dang' flag) — the algorithm re-derives them here
+                state = resume_fix(state)
             start_iter = m.iteration
             metrics = store.metrics_lineage()
 

@@ -823,17 +823,20 @@ def d10(spark, sf):
 @q(
     "d8_collect_set",
     """SELECT l_orderkey,
-              list_sort(list_distinct(list(l_returnflag))) AS flags,
+              array_to_string(list_sort(list_distinct(list(l_returnflag))), ',')
+                AS flags,
               COUNT(*) AS n
        FROM lineitem GROUP BY l_orderkey""",
 )
 def d8(spark, sf):
     # D8: per-group array build; sort_array pins a deterministic order so
-    # the result is comparable across engines/partitionings. At scale this
-    # is the small-neighborhood adjacency builder (collect_list); the CSR
-    # path (K2) replaces it when arrays get large.
+    # the result is comparable across engines/partitionings, and the array
+    # is string-joined because the driver's canonicalizer hashes scalar
+    # cells (list cells crash pandas factorize — round-1's one red row).
+    # At scale this is the small-neighborhood adjacency builder
+    # (collect_list); the CSR path (K2) replaces it when arrays get large.
     li = load(spark, sf, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        F.concat_ws(",", F.sort_array(F.collect_set("l_returnflag"))).alias("flags"),
         F.count("*").alias("n"),
     )

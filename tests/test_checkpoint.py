@@ -100,3 +100,38 @@ def test_resume_skips_completed_run(spark, graphs, tmp_path):
         for r in label_propagation(e, max_iter=10, store=s2, checkpoint_every=2).collect()
     }
     assert again == full
+
+
+def test_pagerank_resume_from_pre_dang_checkpoint(spark, graphs, tmp_path):
+    """Regression (round-1 ADVICE): a checkpoint written before the 'dang'
+    state column existed must still resume — the flag is re-derived from the
+    danglers set (superstep resume_fix hook), not read from the snapshot."""
+    g = graphs["directed_toy"]  # has dangling vertices
+    e = edges_df(spark, g["edges"])
+    base = str(tmp_path / "ck")
+
+    s1 = CheckpointStore(base, "pagerank", run_id="runD")
+    full = {
+        r["vid"]: r["rank"]
+        for r in pagerank(e, tol=1e-10, max_iter=60, store=s1, checkpoint_every=10).collect()
+    }
+    _kill_after(base, "pagerank", "runD", keep_iter=10)
+
+    # simulate the old engine version: strip 'dang' from the surviving snapshot
+    snap = os.path.join(base, "runD", "pagerank", "iter=00010")
+    old = spark.read.parquet(snap)
+    assert "dang" in old.columns
+    stripped = old.drop("dang")
+    tmp_snap = snap + ".tmp"
+    stripped.write.mode("overwrite").parquet(tmp_snap)
+    import shutil
+
+    shutil.rmtree(snap)
+    os.replace(tmp_snap, snap)
+
+    s2 = CheckpointStore(base, "pagerank", run_id="runD")
+    resumed = {
+        r["vid"]: r["rank"]
+        for r in pagerank(e, tol=1e-10, max_iter=60, store=s2, checkpoint_every=10).collect()
+    }
+    assert resumed == full

@@ -146,3 +146,36 @@ def test_lpa_struct_fallback_equals_encoded(spark, graphs, monkeypatch):
             for r in label_propagation(e, max_iter=10, stats_out=s2).collect()}
     assert s2["encoded_argmax"] is False
     assert fast == slow
+
+
+def test_lpa_encoded_argmax_handles_negative_vids(spark, monkeypatch):
+    """Regression (round-1 ADVICE high): the prod vid path is signed
+    xxhash64(repo, path), so labels are routinely negative. The encoded
+    argmax must offset-encode — the unfixed code labeled every vertex of the
+    triangle {-3, -2, 5} with the nonexistent vertex 3."""
+    import pcd_spark.graph.lpa as lpa_mod
+    from pcd_spark.graph import label_propagation
+    from pcd_spark.graph.csr import label_propagation_csr
+    from tests.conftest import edges_df
+
+    edges = [(-3, -2), (-2, 5), (-3, 5), (5, 7), (7, 11), (7, -9)]
+    vids = {-9, -3, -2, 5, 7, 11}
+    e = edges_df(spark, edges)
+
+    s1: dict = {}
+    fast = {r["vid"]: r["label"]
+            for r in label_propagation(e, max_iter=15, stats_out=s1).collect()}
+    assert s1["encoded_argmax"] is True
+    assert set(fast) == vids
+    assert set(fast.values()) <= vids  # labels must be real vertices
+
+    # ground truth: the always-correct struct-min fallback
+    monkeypatch.setattr(lpa_mod, "_ENC_LIMIT", 0)
+    slow = {r["vid"]: r["label"]
+            for r in label_propagation(e, max_iter=15).collect()}
+    monkeypatch.undo()
+    assert fast == slow
+
+    csr = {r["vid"]: r["label"]
+           for r in label_propagation_csr(e, max_iter=15, num_parts=3).collect()}
+    assert csr == slow
