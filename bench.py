@@ -83,7 +83,11 @@ def run_graph_suite(spark, sf_scale: float, big: bool = False) -> dict:
         ba_n, ba_m = max(2000, int(200_000 * sf_scale)), 5
         pr_iters, lpa_iters = 40, 20
     t0 = time.time()
-    corpus = synth_corpus(spark, repos=repos, files_per_repo=fpr, seed=42)
+    # persisted: the synthetic corpus stands in for the STORED Iceberg table
+    # — in prod each derivation scan reads committed parquet, it does not
+    # re-run generation; caching models that (generation cost excluded from
+    # the derivation number would flatter us, so it stays inside t0)
+    corpus = synth_corpus(spark, repos=repos, files_per_repo=fpr, seed=42).persist()
     verts, edges = derive_edges(corpus)
     edges = edges.persist()
     n_edges = edges.count()

@@ -136,9 +136,10 @@ def latest_commits(corpus: DataFrame) -> DataFrame:
 def vertex_dictionary(corpus: DataFrame) -> DataFrame:
     """Dense deterministic vids: row_number over globally sorted (repo, path).
 
-    Fine at sandbox scale; at 10^12 files a global sort is a scale hazard —
-    the documented prod alternative is vid = xxhash64(repo, path) with a
-    collision audit (both deterministic; SURVEY §7.3 item 5).
+    FIXTURE-ONLY path (derive_edges deterministic_dense_ids=True): the
+    no-partitionBy window is a single-partition global sort — a scale hazard
+    at 10^12 files. The default is vertex_dictionary_prod (xxhash64 +
+    collision audit; SURVEY §7.3 item 5).
     """
     w = Window.orderBy("repo", "path")
     return (
@@ -173,16 +174,32 @@ def extract_imports(corpus: DataFrame) -> DataFrame:
     )
 
 
-def derive_edges(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+def derive_edges(
+    corpus: DataFrame, deterministic_dense_ids: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """K8 pipeline. Returns (vertices, edges).
 
     vertices: (vid, repo, path)
     edges:    (src, dst, weight) — directed import graph, self-edges dropped,
               unresolved imports dropped; resolution prefers a same-repo
-              module, then the smallest repo owning it (deterministic).
+              module, then the smallest repo owning it (deterministic; the
+              winner never depends on vid values — module names are unique
+              within a repo — so both vid schemes yield the same graph up to
+              the (repo, path) -> vid relabeling, asserted in tests).
+
+    DEFAULT vid assignment is the prod-scale one: vid = xxhash64(repo, path)
+    with a collision audit + deterministic salted re-hash
+    (vertex_dictionary_prod) — embarrassingly parallel, no global sort.
+    deterministic_dense_ids=True switches to row_number over sorted
+    (repo, path): dense 0..V-1 ids for fixtures/oracles, but a
+    single-partition global sort — round 1 shipped THIS as the default and
+    it was the first scale-killer on the bench (41.5 s for 20k files).
     """
     latest = latest_commits(corpus)
-    verts = vertex_dictionary(latest).persist()
+    if deterministic_dense_ids:
+        verts = vertex_dictionary(latest).persist()
+    else:
+        verts = vertex_dictionary_prod(latest).persist()
 
     # module index: dotted module -> candidate (vid, repo)
     index = verts.select(
@@ -190,9 +207,19 @@ def derive_edges(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
     imports = extract_imports(latest)
-    src_side = imports.join(
-        verts.select(F.col("vid").alias("src"), "repo", "path"), ["repo", "path"]
-    ).select("src", F.col("repo").alias("src_repo"), "module")
+    # persisted: referenced by BOTH the distinct-pairs resolution input and
+    # the final per-statement join — and it is the LAST consumer of the full
+    # corpus scan, so caching this small (src, repo, module) projection (no
+    # content column) caps the pipeline at two corpus scans total (vids +
+    # imports) at any scale; round 1 re-scanned per reference instead
+    src_side = (
+        imports.join(
+            verts.select(F.col("vid").alias("src"), "repo", "path"),
+            ["repo", "path"],
+        )
+        .select("src", F.col("repo").alias("src_repo"), "module")
+        .persist()
+    )
 
     # Resolution winner depends only on (src_repo, module) — resolve once on
     # the distinct pairs, then join the per-statement rows back (keeps
@@ -246,6 +273,36 @@ def vertex_dictionary_hashed(corpus: DataFrame) -> tuple[DataFrame, int]:
         verts.groupBy("vid").count().filter(F.col("count") > 1).count()
     )
     return verts, int(collisions)
+
+
+def vertex_dictionary_prod(corpus: DataFrame, max_rounds: int = 4) -> DataFrame:
+    """The DEFAULT vid assignment: xxhash64 vids with the collision audit
+    folded in. Colliding groups are deterministically re-hashed with the
+    round number as salt — xxhash64(repo, path, round) — and the global
+    audit repeats, so a salted vid that lands on an existing one is caught
+    next round. Every step is a pure function of (repo, path), so ids are
+    identical at any parallelism. The audit is one O(V) groupBy per round;
+    round 2+ only ever runs on an actual 64-bit collision (~2.7% odds that
+    ANY pair collides at 10^12 keys; certain to be rare enough that the
+    re-hash set is tiny)."""
+    cur = (
+        corpus.select("repo", "path").distinct()
+        .select(F.xxhash64("repo", "path").alias("vid"), "repo", "path")
+        .persist()
+    )
+    for rnd in range(1, max_rounds + 1):
+        dup = cur.groupBy("vid").count().filter(F.col("count") > 1).select("vid")
+        if dup.isEmpty():
+            return cur
+        clean = cur.join(dup, "vid", "left_anti")
+        redo = cur.join(dup, "vid", "left_semi").select(
+            F.xxhash64("repo", "path", F.lit(rnd)).alias("vid"), "repo", "path"
+        )
+        cur = clean.unionByName(redo).persist()
+    raise RuntimeError(
+        f"vertex_dictionary_prod: collisions persisted after {max_rounds} "
+        "salted re-hash rounds (astronomically unlikely; check input)"
+    )
 
 
 def extract_imports_udtf(corpus: DataFrame) -> DataFrame:

@@ -210,6 +210,7 @@ def pagerank_csr(
         init, step, tol=tol, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
         extra_aggs=extra_aggs, extras_out=extras, resume_fix=resume_fix,
+        disable_aqe=True,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters
@@ -315,6 +316,7 @@ def label_propagation_csr(
     final, iters, metrics = run_supersteps(
         init, step, tol=0.5, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
+        disable_aqe=True,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters

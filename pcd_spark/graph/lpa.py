@@ -168,6 +168,7 @@ def label_propagation(
     final, iters, metrics = run_supersteps(
         init, step, tol=0.5, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
+        disable_aqe=True,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters

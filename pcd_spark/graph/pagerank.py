@@ -155,6 +155,7 @@ def pagerank(
         init, step, tol=tol, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
         extra_aggs=extra_aggs, extras_out=extras, resume_fix=resume_fix,
+        disable_aqe=True,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters

@@ -18,8 +18,12 @@ Two hard-won design rules (measured in this sandbox):
 2. The convergence metric rides INSIDE the new state as a `_delta` column
    (per-row contribution: |Δrank| or changed-flag), computed in the same
    select that builds the new state — the old value is already present from
-   the superstep join. The driver then aggregates the cached state: zero
-   extra joins per superstep for the Allreduce.
+   the superstep join. The Allreduce itself is an `observe()` (CollectMetrics)
+   node on that same plan: the metrics accumulate DURING the job that
+   materializes the localCheckpoint, so a superstep is exactly ONE Spark
+   job — round 1 ran a second agg job over the cached state per superstep,
+   and that extra driver round-trip + stage was the dominant term of the
+   F ≈ 2.4 s/superstep fixed cost that broke the ≥0.8 scaling bar.
 """
 
 from __future__ import annotations
@@ -46,6 +50,7 @@ def run_supersteps(
     extra_aggs: dict | None = None,
     extras_out: dict | None = None,
     resume_fix: Callable[[DataFrame], DataFrame] | None = None,
+    disable_aqe: bool = False,
 ) -> tuple[DataFrame, int, list[tuple[int, float]]]:
     """Run step_fn until sum(_delta) < tol or max_iter. Returns
     (final_state_with_delta, iterations_run, [(iteration, delta), ...]).
@@ -58,6 +63,8 @@ def run_supersteps(
     of costing their own job + broadcast per superstep (measured ~0.3-0.5s of
     fixed per-superstep cost — the scaling killer at high parallelism)."""
     import time as _time
+
+    from pyspark.sql import Observation
 
     state = init_state
     start_iter = 0
@@ -90,21 +97,50 @@ def run_supersteps(
     if extra_aggs:
         _agg_state(state)  # seed extras from the initial/resumed state
 
-    it = start_iter
-    for it in range(start_iter + 1, max_iter + 1):
-        _t0 = _time.time()
-        new = step_fn(state, it).localCheckpoint(eager=True)
-        delta = _agg_state(new)
-        metrics.append((it, delta))
-        if step_secs is not None:
-            step_secs.append(round(_time.time() - _t0, 3))
+    agg_cols = [F.coalesce(F.sum("_delta"), F.lit(0.0)).alias("_d")]
+    for k, v in (extra_aggs or {}).items():
+        agg_cols.append(v.alias(k))
 
-        if store is not None and (
-            it % checkpoint_every == 0 or delta < tol or it == max_iter
-        ):
-            new = store.checkpoint(it, new, delta).localCheckpoint(eager=True)
-        state.unpersist()
-        state = new
-        if delta < tol:
-            break
+    # disable_aqe: a superstep plan already pins its reduce width with an
+    # explicit repartition and its join strategies with hints — AQE can only
+    # add per-stage driver re-planning round-trips (measured ~0.1-0.2 s of
+    # fixed cost per superstep). Algorithms that WANT runtime skew handling
+    # (CC's pointer-jump join keys on the giant component's label) leave it
+    # on. Session setting restored on exit.
+    conf = init_state.sparkSession.conf
+    aqe_key = "spark.sql.adaptive.enabled"
+    prev_aqe = conf.get(aqe_key)
+    if disable_aqe:
+        conf.set(aqe_key, "false")
+
+    it = start_iter
+    try:
+        for it in range(start_iter + 1, max_iter + 1):
+            _t0 = _time.time()
+            # observe() fuses the convergence Allreduce into the checkpoint
+            # materialization job — one job, one driver round-trip per superstep
+            obs = Observation(f"pcd_step_{it}")
+            new = (
+                step_fn(state, it).observe(obs, *agg_cols).localCheckpoint(eager=True)
+            )
+            row = obs.get
+            delta = float(row["_d"] or 0.0)
+            if extra_aggs and extras_out is not None:
+                for k in extra_aggs:
+                    extras_out[k] = row[k]
+            metrics.append((it, delta))
+            if step_secs is not None:
+                step_secs.append(round(_time.time() - _t0, 3))
+
+            if store is not None and (
+                it % checkpoint_every == 0 or delta < tol or it == max_iter
+            ):
+                new = store.checkpoint(it, new, delta).localCheckpoint(eager=True)
+            state.unpersist()
+            state = new
+            if delta < tol:
+                break
+    finally:
+        if disable_aqe:
+            conf.set(aqe_key, prev_aqe)
     return state, it, metrics

@@ -18,16 +18,35 @@ from pyspark.sql import functions as F
 from pcd_spark.graph.edges import canonical_undirected, vertices_of
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
-    """Orient canonical undirected edges low→high by (degree, vid)."""
-    canon = canonical_undirected(edges)
+# degree tables up to this many vertices are broadcast into the orientation
+# joins (deg is O(V) — two ints per vertex; ~16 MB at this cap). Above it,
+# fall back to shuffle joins: at 10^12 vertices a broadcast would be absurd.
+_BCAST_DEG_MAX_V = 2_000_000
+
+
+def _oriented(canon: DataFrame, broadcast_degrees: bool | None = None) -> DataFrame:
+    """Orient canonical undirected edges low→high by (degree, vid).
+
+    `canon` must already be the canonical_undirected normal form (the caller
+    persists it — it is referenced by the degree agg AND both orientation
+    joins). The O(V) degree table is broadcast when small (None = auto by a
+    cheap count over the persisted deg), turning the two orientation joins
+    into map-side hash joins with zero shuffle of the O(E) edge side."""
     both = canon.unionByName(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = both.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+    deg = (
+        both.groupBy(F.col("src").alias("vid"))
+        .agg(F.count("*").alias("deg"))
+        .persist()
+    )
+    n_v = deg.count()
+    if broadcast_degrees is None:
+        broadcast_degrees = n_v <= _BCAST_DEG_MAX_V
+    d = F.broadcast(deg) if broadcast_degrees else deg
     e = (
-        canon.join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "ds"), "src")
-        .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "dd"), "dst")
+        canon.join(d.withColumnRenamed("vid", "src").withColumnRenamed("deg", "ds"), "src")
+        .join(d.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "dd"), "dst")
     )
     keep = (F.col("ds") < F.col("dd")) | (
         (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
@@ -38,10 +57,21 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, broadcast_degrees: bool | None = None
+) -> DataFrame:
     """Exact per-vertex triangle counts (vid: long, tri: long); vertices in
-    no triangle get 0. Global count = sum(tri)/3 (each triangle touches 3)."""
-    o = _oriented(edges).persist()
+    no triangle get 0. Global count = sum(tri)/3 (each triangle touches 3).
+
+    The input is persisted before anything else: callers routinely pass a
+    DERIVED edge table (e.g. the lineitem co-occurrence join), and this
+    algorithm references it three times (canonical form, degree table,
+    vertex universe) — unpersisted, round 1 re-ran the whole derivation each
+    time, which was most of its 79 s bench cost."""
+    e = edges.persist()
+    canon = canonical_undirected(e).persist()
+    canon.count()
+    o = _oriented(canon, broadcast_degrees).persist()
     o.count()
 
     # Ordered wedges (a→b, a→c), b≠c; the closing edge b→c exists in exactly
@@ -59,7 +89,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("tri"))
     )
     out = (
-        vertices_of(edges)
+        vertices_of(e)  # reads the persisted input, not the raw lineage
         .join(per_vertex, "vid", "left")
         .select("vid", F.coalesce("tri", F.lit(0)).alias("tri"))
     )

@@ -523,6 +523,67 @@ def e6(spark, sf):
 # F. sorts / limits / top-k
 # =========================================================================
 
+def global_rank(df: DataFrame, order_cols: list, rank_name: str = "rn") -> DataFrame:
+    """F1: distributed global rank (1-based) under a TOTAL order.
+
+    Window.orderBy with no partitionBy funnels every row through ONE task —
+    the classic global-sort scale killer. This is the scale-safe form:
+    range-repartition on the sort keys (ordered partitions), rank
+    partition-locally, then add per-partition row-count offsets (an O(P)
+    driver collect — partition COUNTS, not rows). Deterministic as long as
+    order_cols is a total order (caller supplies the tiebreaker).
+    """
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    sizes = {r["_pid"]: r["_n"] for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_name, F.row_number().over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+@q(
+    "f1_global_sort",
+    """SELECT c_custkey, c_acctbal,
+              ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+       FROM customer""",
+)
+def f1(spark, sf):
+    # F1: total-order rank materialization — the order-insensitive driver
+    # compare can't see a bare sort, so the rank column IS the evidence the
+    # global order is right. Uses the range-partitioned two-phase rank
+    # (global_rank), not a single-partition window.
+    c = load(spark, sf, "customer")
+    return global_rank(
+        c.select("c_custkey", "c_acctbal"),
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+    ).select("c_custkey", "c_acctbal", "rn")
+
+
+@q(
+    "f2_limit",
+    "SELECT n_nationkey, n_name FROM nation LIMIT 100",
+)
+def f2(spark, sf):
+    # F2: bare LIMIT (CollectLimit, no sort). A limit below table cardinality
+    # is nondeterministic by SQL semantics, so the oracle-comparable form
+    # caps ABOVE cardinality (nation has 25 rows) — the operator still
+    # executes its early-out path; f3 covers the ordered variant.
+    return load(spark, sf, "nation").select("n_nationkey", "n_name").limit(100)
+
+
 @q(
     "f3_global_topk",
     """SELECT o_orderkey, o_totalprice FROM orders

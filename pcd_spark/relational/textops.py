@@ -136,9 +136,15 @@ def x3(spark, sf):
        FROM pairs WHERE CAST(inter AS DOUBLE) / uni > 0.3""",
 )
 def x4(spark, sf):
-    # n-gram Jaccard near-dup on a bounded slice (n_chars filter pushes to
-    # the scan). Self-join is the baseline; the LSH path (x3) is the scale
-    # path that avoids the quadratic candidate set.
+    # n-gram Jaccard near-dup via an INVERTED INDEX, not an all-pairs theta
+    # join (round 1 planned a BroadcastNestedLoopJoin — a cartesian that
+    # dies the moment the slice grows). Exact same output: a pair sharing
+    # zero grams has J = 0 < threshold, so equi-joining the exploded
+    # (gram, doc) postings enumerates every qualifying candidate, and the
+    # per-pair match count IS |intersection| — no array_intersect, no
+    # second pass over text. Cost = sum over grams of freq^2 (the standard
+    # set-similarity-join shape; prefix filtering is the known refinement,
+    # and x3/v3 are the approximate scale paths).
     d = load(spark, sf, "documents").filter(F.col("n_chars").between(100, 200))
     sh = d.select(
         "doc_id",
@@ -148,13 +154,28 @@ def x4(spark, sf):
                 lambda i: F.expr("text").substr(i, F.lit(4)),
             )
         ).alias("grams"),
+    ).persist()
+    sizes = sh.select("doc_id", F.size("grams").alias("sz"))
+    post = sh.select("doc_id", F.explode("grams").alias("gram"))
+    inter_df = (
+        post.select(F.col("doc_id").alias("d1"), "gram")
+        .join(post.select(F.col("doc_id").alias("d2"), "gram"), "gram")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
     )
-    a = sh.select(F.col("doc_id").alias("d1"), F.col("grams").alias("g1"))
-    b = sh.select(F.col("doc_id").alias("d2"), F.col("grams").alias("g2"))
-    pairs = a.join(b, F.col("d1") < F.col("d2"))
-    inter = F.size(F.array_intersect("g1", "g2"))
-    uni = F.size("g1") + F.size("g2") - inter
-    jac = inter.cast("double") / uni
+    # sizes is 2 ints per doc — leave the join strategy to the planner/AQE:
+    # broadcast when the slice is small, shuffle join when it isn't
+    pairs = (
+        inter_df.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("s1")), "d1"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("s2")), "d2"
+        )
+    )
+    uni = F.col("s1") + F.col("s2") - F.col("inter")
+    jac = F.col("inter").cast("double") / uni
     return pairs.select(
         "d1", "d2", F.round(jac, 4).alias("jaccard")
     ).filter(jac > 0.3)

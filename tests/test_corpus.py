@@ -85,13 +85,37 @@ def _python_oracle_edges(rows):
 
 
 def test_derive_edges_matches_python_oracle(corpus):
-    verts, edges = derive_edges(corpus)
+    verts, edges = derive_edges(corpus, deterministic_dense_ids=True)
     got = {
         (r["src"], r["dst"]): int(r["weight"]) for r in edges.collect()
     }
     want = _python_oracle_edges(corpus.collect())
     assert got == want
     assert len(got) > 100  # the planted graph is dense enough to be meaningful
+
+
+def test_hashed_default_isomorphic_to_dense(corpus):
+    """The DEFAULT (hashed-vid) derivation yields the same graph as the
+    dense-id fixture path up to the (repo, path) -> vid relabeling, and
+    contains no single-partition window in its plan."""
+    dv, de = derive_edges(corpus, deterministic_dense_ids=True)
+    hv, he = derive_edges(corpus)
+
+    dmap = {(r["repo"], r["path"]): r["vid"] for r in dv.collect()}
+    hmap = {(r["repo"], r["path"]): r["vid"] for r in hv.collect()}
+    assert set(dmap) == set(hmap)
+    to_dense = {hmap[k]: dmap[k] for k in hmap}
+
+    dense_edges = {(r["src"], r["dst"]): int(r["weight"]) for r in de.collect()}
+    hashed_edges = {
+        (to_dense[r["src"]], to_dense[r["dst"]]): int(r["weight"])
+        for r in he.collect()
+    }
+    assert hashed_edges == dense_edges
+
+    # plan audit: no global (partition-less) window on the default path
+    plan = he._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan or "SinglePartition" not in plan, plan
 
 
 def test_latest_commit_dedup(corpus):
@@ -102,7 +126,7 @@ def test_latest_commit_dedup(corpus):
 
 
 def test_vertex_ids_dense_and_deterministic(corpus):
-    verts, _ = derive_edges(corpus)
+    verts, _ = derive_edges(corpus, deterministic_dense_ids=True)
     ids = sorted(r["vid"] for r in verts.collect())
     assert ids == list(range(300))
 

@@ -84,3 +84,13 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = REGISTRY[name]["spark"](spark, sf_dir)
     assert len(df.columns) > 0
     assert df.count() >= 0
+
+
+def test_x4_plan_has_no_cartesian(spark, sf_dir):
+    """x4 regression (round-1 VERDICT #2): candidate generation must be an
+    equi-join on the inverted index, never BroadcastNestedLoopJoin /
+    CartesianProduct — those are all-pairs and die at scale."""
+    df = REGISTRY["x4_ngram_jaccard_pairs"]["spark"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
