@@ -41,12 +41,15 @@ BENCH_QUERIES = [
     "e3_topk_per_group",
     "f3_global_topk",
     "h8_higher_order_dot",
+    "f1_global_sort",
     "x1_dedup_exact",
     "x3_minhash_lsh_buckets",
+    "x4_ngram_jaccard_pairs",
     "x7_langid_heuristic",
     "x9_simhash",
     "v1_cosine_topk",
     "v3_embedding_neardup",
+    "v4_ivf_topk",
     "i4_session_window_batch",
     "k6_triangles",
 ]
@@ -125,6 +128,39 @@ def run_graph_suite(spark, sf_scale: float, big: bool = False) -> dict:
             "sec_per_superstep": round(sec / iters, 3),
             "edge_traversals_per_sec": round(per_step * iters / sec, 1),
         }
+    # checkpoint_every as a measured cost/risk knob (VERDICT r1 #4): durable
+    # snapshot+manifest cost per checkpointed superstep, so a deployment can
+    # price "resume granularity k" against added wall time. localCheckpoint
+    # (lineage truncation) happens every superstep regardless; this measures
+    # only the DURABLE increment.
+    import shutil
+    import tempfile
+
+    from pcd_spark.storage import CheckpointStore
+
+    ck_base = tempfile.mkdtemp(prefix="pcd_bench_ck_")
+    try:
+        stats: dict = {}
+        store = CheckpointStore(ck_base, "pagerank", run_id="bench", integrity=False)
+        t0 = time.time()
+        pagerank(ba, tol=0.0, max_iter=pr_iters // 2, stats_out=stats,
+                 store=store, checkpoint_every=5).count()
+        sec_ck = time.time() - t0
+        iters = max(stats.get("iterations", 1), 1)
+        n_ckpts = max(iters // 5, 1) + 1  # periodic + final
+        base = out["pagerank_ba"]["sec_per_superstep"] * iters
+        out["checkpoint_knob"] = {
+            "algo": "pagerank_ba",
+            "checkpoint_every": 5,
+            "supersteps": iters,
+            "durable_checkpoints": n_ckpts,
+            "sec_with_durable": round(sec_ck, 2),
+            "sec_per_durable_checkpoint": round(
+                max(sec_ck - base, 0.0) / n_ckpts, 3
+            ),
+        }
+    finally:
+        shutil.rmtree(ck_base, ignore_errors=True)
     edges.unpersist()
     ba.unpersist()
     return out
@@ -340,6 +376,30 @@ def run_scaling() -> None:
         "cluster where supersteps are minutes, not seconds.",
         "",
     ]
+    # Serial-fraction decomposition: fit T(cores) = F + W/cores to the
+    # efficiency pair's best medians. F is the per-superstep fixed cost
+    # (driver round-trip, plan analysis, lineage truncation — independent of
+    # cluster size); W is the core-divisible work. On the target deployment
+    # supersteps are minutes, so the same constant F is <1% of a superstep.
+    if ratio:
+        lines += ["", "## Serial-fraction fit (T = F + W/cores, efficiency pair)", ""]
+        for key in ("pagerank", "lpa"):
+            t1, t2 = best_median(pair[0], key), best_median(pair[1], key)
+            if t1 != t1 or t2 != t2:
+                continue
+            w_fit = (t1 - t2) / (1.0 / pair[0] - 1.0 / pair[1])
+            f_fit = t1 - w_fit / pair[0]
+            # what the same fit predicts when each superstep carries 10x the
+            # work (cluster-scale supersteps) — the Amdahl term F amortizes
+            t1x = f_fit + 10 * w_fit / pair[0]
+            t2x = f_fit + 10 * w_fit / pair[1]
+            lines.append(
+                f"- {key}: W ≈ {w_fit:.1f}s divisible work, F ≈ {f_fit:.2f}s "
+                f"fixed cost per superstep; at 10x per-superstep work the "
+                f"fit predicts efficiency {t1x / (ratio * t2x):.2f}."
+            )
+        lines.append("")
+
     for c in have:
         for i, r in enumerate(runs[c]):
             lines.append(f"Raw local[{c}] rep{i}: `{json.dumps(r)}`")

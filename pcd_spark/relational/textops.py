@@ -75,16 +75,22 @@ def x2(spark, sf):
 
 
 def _minhash_col(seed: str):
+    # Constant-memory form: fold the shingle positions with a running min
+    # (F.aggregate) instead of materializing an O(len) ARRAY of 32-char md5
+    # strings per row (array_min(transform(...)) — round 1's form — holds
+    # ~3.2 MB of hash strings in flight for a 100 KB doc; the fold holds
+    # one). Identical result: min over the same shingle-hash set. The init
+    # sentinel "g" sorts after every md5 hex ([0-9a-f]{32}) and can never
+    # win because text length >= 5 is enforced by the callers.
     # NB: the lambda must take exactly ONE arg — pyspark passes (element,
     # index) to two-arg lambdas, which would silently replace the seed.
     def shingle_hash(i):
         return F.md5(F.concat(F.lit(seed), F.expr("text").substr(i, F.lit(5))))
 
-    return F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
-            shingle_hash,
-        )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+        F.lit("g"),
+        lambda acc, i: F.least(acc, shingle_hash(i)),
     )
 
 
@@ -574,4 +580,81 @@ def v3(spark, sf):
     cos = F.round(_cos(F.col("e1"), F.col("e2")), 6)
     return pairs.select("v1", "v2", cos.alias("cosine")).filter(
         F.col("cosine") >= 0.35
+    )
+
+
+_IVF_CELLS = 8
+
+
+@qt(
+    "v4_ivf_topk",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
+                ORDER BY vec_id LIMIT {_IVF_CELLS}),
+       asg AS (
+         SELECT vec_id, emb, cid FROM (
+           SELECT e.vec_id, e.emb, c.cid,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY ROUND(list_dot_product(e.emb, c.cemb)
+                          / (SQRT(list_dot_product(e.emb, e.emb))
+                             * SQRT(list_dot_product(c.cemb, c.cemb))), 6) DESC,
+                      c.cid ASC) AS rn
+           FROM e CROSS JOIN cent c) WHERE rn = 1),
+       probes AS (SELECT vec_id AS probe_id, emb AS pemb, cid FROM asg
+                  WHERE vec_id < 5),
+       scored AS (
+         SELECT p.probe_id, a.vec_id AS cand_id,
+                ROUND(list_dot_product(p.pemb, a.emb)
+                      / (SQRT(list_dot_product(p.pemb, p.pemb))
+                         * SQRT(list_dot_product(a.emb, a.emb))), 6) AS cosine
+         FROM probes p JOIN asg a ON p.cid = a.cid AND p.probe_id <> a.vec_id)
+       SELECT probe_id, cand_id, cosine FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, cand_id ASC) AS rn
+         FROM scored) WHERE rn <= 3""",
+)
+def v4(spark, sf):
+    # IVF (inverted-file) ANN: a deterministic coarse quantizer — the
+    # _IVF_CELLS lowest-vec_id vectors are the centroids (no rand(); a
+    # k-means refinement would keep the same plan shape) — assigns every
+    # vector to its nearest cell via a BROADCAST cross join against the tiny
+    # centroid table; search then probes only the query's own cell (nprobe=1),
+    # so the candidate join keys on cell id and cost scales with cell sizes,
+    # not n^2. This is the third ANN family next to sign-LSH (v2/v3):
+    # IVF partitions by data geometry, LSH by random projections; recall
+    # tradeoff vs the v1 exact baseline is the standard IVF one.
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = e.orderBy("vec_id").limit(_IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(_cos(F.col("emb"), F.col("cemb")), 6)), F.asc("cid")
+    )
+    asg = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cid")
+    )
+    probes = asg.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb"), "cid"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(asg, "cid")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(_cos(F.col("pemb"), F.col("emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "cand_id", "cosine")
     )

@@ -94,3 +94,26 @@ def test_x4_plan_has_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    """f1's distributed rank (range partition + offsets) must equal the
+    trivially-correct single-partition window on arbitrary data with ties
+    in the first key (the total order includes the id tiebreaker)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pcd_spark.relational.queries import global_rank
+
+    rows = [(i, (i * 37) % 11) for i in range(500)]  # many ties in v
+    df = spark.createDataFrame(rows, "id long, v long").repartition(13)
+    got = {
+        r["id"]: r["rn"]
+        for r in global_rank(df, [F.desc("v"), F.asc("id")]).collect()
+    }
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
