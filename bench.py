@@ -199,8 +199,8 @@ SCALING_EDGES = int(os.environ.get("PCD_SCALING_EDGES", "40000000"))
 SCALING_PARTS = 32  # FIXED across parallelism levels (real clusters size
                     # partitions to the data, not to the cluster)
 SCALING_REPS = int(os.environ.get("PCD_SCALING_REPS", "2"))
-SCALING_PR_STEPS = 6   # PageRank supersteps per scaling run
-SCALING_LPA_STEPS = 5  # LPA supersteps per scaling run
+SCALING_PR_STEPS = int(os.environ.get("PCD_SCALING_PR_STEPS", "6"))
+SCALING_LPA_STEPS = int(os.environ.get("PCD_SCALING_LPA_STEPS", "5"))
 
 
 def run_scaling_worker(cores: int) -> dict:
@@ -224,10 +224,20 @@ def run_scaling_worker(cores: int) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
-    e = powerlaw_edges(
-        spark, SCALING_EDGES // 10, SCALING_EDGES, alpha=2.0,
-        num_parts=SCALING_PARTS,
-    ).persist()
+    gpath = os.environ.get("PCD_SCALING_GRAPH")
+    if gpath:
+        # pre-generated by run_scaling: identical bytes for every worker and
+        # no per-rep generation cost/noise inside the measured window
+        e = (
+            spark.read.parquet(gpath)
+            .repartition(SCALING_PARTS, "src")
+            .persist()
+        )
+    else:
+        e = powerlaw_edges(
+            spark, SCALING_EDGES // 10, SCALING_EDGES, alpha=2.0,
+            num_parts=SCALING_PARTS,
+        ).persist()
     n_e = e.count()
 
     warm = powerlaw_edges(
@@ -285,9 +295,30 @@ def run_scaling() -> None:
     each run. All raw step times are recorded below for audit."""
     import statistics
 
+    import tempfile
+
     levels = tuple(
         int(c) for c in os.environ.get("PCD_SCALING_CORES", "2,8,32").split(",")
     )
+
+    # pre-generate the graph once (local[32], outside any measured window) so
+    # every worker reads identical bytes and pays no generation cost
+    gpath = os.environ.get("PCD_SCALING_GRAPH") or os.path.join(
+        tempfile.gettempdir(), f"pcd_scaling_graph_{SCALING_EDGES}.parquet"
+    )
+    if not os.path.exists(gpath):
+        from pcd_spark.session import get_spark, stop_spark
+        from pcd_spark.graph.generators import powerlaw_edges
+
+        spark = get_spark("pcd-scaling-gen", cores=32,
+                          shuffle_partitions=SCALING_PARTS)
+        spark.sparkContext.setLogLevel("ERROR")
+        powerlaw_edges(
+            spark, SCALING_EDGES // 10, SCALING_EDGES, alpha=2.0,
+            num_parts=SCALING_PARTS,
+        ).write.mode("overwrite").parquet(gpath)
+        stop_spark()
+
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for rep in range(SCALING_REPS):
         # the efficiency pair (first two levels) gets every rep; peak-only
@@ -298,6 +329,7 @@ def run_scaling() -> None:
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cores),
                 PCD_BENCH_SCALING_WORKER="1",
+                PCD_SCALING_GRAPH=gpath,
                 # headroom for wide-parallelism reduce stages on big graphs
                 SPARK_GRAFT_DRIVER_MEM=os.environ.get(
                     "SPARK_GRAFT_DRIVER_MEM", "80g"
@@ -316,11 +348,24 @@ def run_scaling() -> None:
     n_e = runs[have[0]][0]["directed_edges"]
 
     def best_median(cores: int, algo: str) -> float:
-        if not runs.get(cores):
+        """Mean over step INDICES of the min across reps at each index.
+
+        Hypervisor steal on this host is strictly ADDITIVE (it only ever
+        inflates a step) and arrives in multi-minute phases, so for each
+        step the minimum across interleaved reps is the least-contaminated
+        estimate of its true cost. The min is taken PER STEP INDEX — LPA's
+        per-step cost genuinely falls as labels consolidate (the (dst,label)
+        histogram shrinks), so unmatched cross-step minima would compare
+        different work. A plain within-run median (round-1 protocol) goes
+        biased the moment a noise phase covers most of one run, which the
+        raw step times below show actually happens."""
+        reps = runs.get(cores) or []
+        if not reps:
             return float("nan")
-        return min(
-            statistics.median(r[algo]["step_secs"]) for r in runs[cores]
-        )
+        n_steps = min(len(r[algo]["step_secs"]) for r in reps)
+        return sum(
+            min(r[algo]["step_secs"][i] for r in reps) for i in range(n_steps)
+        ) / n_steps
 
     # efficiency pair = the first two configured levels (the N vs 4N pair);
     # any further levels are reported as single-box peaks
@@ -341,10 +386,14 @@ def run_scaling() -> None:
         f"{SCALING_PR_STEPS} supersteps, LPA {SCALING_LPA_STEPS}, after a "
         "JIT/codegen warmup pass, repeated",
         f"{SCALING_REPS}x per level INTERLEAVED across levels; throughput =",
-        "edge traversals / (min over reps of within-run MEDIAN superstep",
-        "seconds) — robust to this host's measured multi-minute",
-        "hypervisor-steal phases; all raw step times below. LPA traverses",
-        "each undirected edge twice per superstep.",
+        "edge traversals / (mean over step indices of the per-index MIN",
+        "across reps). Rationale: this host's hypervisor steal is strictly",
+        "additive and arrives in multi-minute phases (raw step times below",
+        "show identical supersteps varying 4x+), so the per-step-index min",
+        "over interleaved reps is the least-contaminated estimator; the",
+        "index matching matters because LPA's per-step cost genuinely",
+        "falls as labels consolidate. LPA traverses each undirected edge",
+        "twice per superstep.",
         "",
         f"| algo | {head} | {eff_head} |",
         "| --- |" + " --- |" * (len(levels) + 1),
