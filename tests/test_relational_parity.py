@@ -96,6 +96,20 @@ def test_x4_plan_has_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+DRIVER_WINDOW = list(REGISTRY)[:50]
+
+
+@pytest.mark.parametrize("name", DRIVER_WINDOW)
+def test_driver_canonicalizer_compat(spark, sf_dir, name):
+    """The driver canonicalizes results with pandas sort_values over every
+    column, which factorizes object columns — list/dict/ndarray cells raise
+    `TypeError: unhashable type` (round-1 d8 failure mode). Every query in
+    the driver's 50-entry oracle window must therefore emit only hashable
+    scalars. Run the exact operation the driver runs."""
+    pdf = REGISTRY[name]["spark"](spark, sf_dir).toPandas()
+    pdf.sort_values(by=list(pdf.columns))  # raises on unhashable cells
+
+
 def test_global_rank_matches_single_partition_window(spark):
     """f1's distributed rank (range partition + offsets) must equal the
     trivially-correct single-partition window on arbitrary data with ties
