@@ -658,3 +658,69 @@ def v4(spark, sf):
         .filter(F.col("rn") <= 3)
         .select("probe_id", "cand_id", "cosine")
     )
+
+
+@qt(
+    "x10_neardup_clusters",
+    f"""WITH RECURSIVE
+        sig AS (
+          SELECT doc_id,
+                 md5({_minhash_sql("s1")} || {_minhash_sql("s2")}) AS band_a,
+                 md5({_minhash_sql("s3")} || {_minhash_sql("s4")}) AS band_b
+          FROM documents WHERE LENGTH(text) >= 5),
+        e1 AS (SELECT MIN(doc_id) OVER (PARTITION BY band_a) AS src,
+                      doc_id AS dst FROM sig),
+        e2 AS (SELECT MIN(doc_id) OVER (PARTITION BY band_b) AS src,
+                      doc_id AS dst FROM sig),
+        edges AS (SELECT src, dst FROM e1 WHERE src <> dst
+                  UNION SELECT src, dst FROM e2 WHERE src <> dst),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        reach(v, u) AS (
+          SELECT doc_id, doc_id FROM sig
+          UNION
+          SELECT r.v, e.dst FROM reach r JOIN sym e ON e.src = r.u)
+        SELECT v AS doc_id, MIN(u) AS cluster,
+               (MIN(u) = v) AS is_canonical
+        FROM reach GROUP BY v""",
+)
+def x10(spark, sf):
+    # End-to-end near-dup DEDUP CLUSTERING — the production MinHash-LSH
+    # pipeline shape (two bands of two minhashes -> transitive closure ->
+    # canonical representative), composed from this engine's own pieces:
+    # x2's signatures, x3's banding, and the K4 connected-components
+    # superstep engine. Two design choices carry it to 10^12 docs:
+    #   1. a doc in MULTIPLE bands makes same-bucket an OVERLAPPING
+    #      relation, so clusters need transitive closure (CC), not a
+    #      groupBy — this is why dedup needs the graph engine at all;
+    #   2. buckets become STAR edges (bucket-min -> member), never member
+    #      pair cliques: O(n * bands) edges total even when a degenerate
+    #      bucket holds millions of docs, with identical components.
+    # Cluster id = MIN doc_id in the closure (CC's exact semantics);
+    # is_canonical marks the one doc per cluster a dedup pass would keep.
+    from pcd_spark.graph.cc import connected_components
+
+    d = load(spark, sf, "documents").filter(F.length("text") >= 5)
+    sig = d.select(
+        "doc_id",
+        F.md5(F.concat(_minhash_col("s1"), _minhash_col("s2"))).alias("band_a"),
+        F.md5(F.concat(_minhash_col("s3"), _minhash_col("s4"))).alias("band_b"),
+    ).persist()
+    star = []
+    for band in ("band_a", "band_b"):
+        bmin = sig.groupBy(band).agg(F.min("doc_id").alias("src"))
+        star.append(
+            sig.join(bmin, band)
+            .filter(F.col("src") != F.col("doc_id"))
+            .select("src", F.col("doc_id").alias("dst"))
+        )
+    edges = star[0].unionByName(star[1])
+    cc = connected_components(edges)
+    return sig.join(
+        cc, sig["doc_id"] == cc["vid"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster"),
+        (F.coalesce("component", "doc_id") == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
+    )
