@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "v1_cosine_topk",
     "v3_embedding_neardup",
     "v4_ivf_topk",
+    "x10_neardup_clusters",
     "i4_session_window_batch",
     "k6_triangles",
 ]

