@@ -51,7 +51,8 @@ _PRIORITY = [
     "c6_join_left_anti", "d5_approx_count_distinct", "d9b_cube",
     "e2_dense_rank", "e4_lag_delta", "e6_ntile_percent_rank",
     "g2_intersect", "g3_except", "h3_string_basics", "h5_date_functions",
-    "h6_math", "i2_tumbling_window_batch", "m2_blob_features",
+    "h6_math", "i2_tumbling_window_batch", "i3_sliding_window_batch",
+    "m2_blob_features",
     "v4_ivf_topk", "x10_neardup_clusters",
     "k3_pagerank_top20", "k5_lpa_community_sizes", "k8_corpus_pipeline",
 ]

@@ -851,6 +851,32 @@ def i4b(spark, sf):
     )
 
 
+@q(
+    "i3_sliding_window_batch",
+    """SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end,
+              COUNT(*) AS n
+       FROM (SELECT time_bucket(INTERVAL 5 MINUTE, ts)
+                      - s.i * INTERVAL 5 MINUTE AS win_start
+             FROM events, (VALUES (0), (1)) AS s(i))
+       GROUP BY win_start""",
+)
+def i3b(spark, sf):
+    # batch twin of streaming.sliding_counts: 10-min windows sliding every
+    # 5 — each event lands in exactly window/slide = 2 overlapping windows
+    # (starts = the two slide-aligned buckets in (ts - 10min, ts]). The
+    # oracle enumerates those starts explicitly via a 2-row VALUES join.
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n",
+        )
+    )
+
+
 # =========================================================================
 # D10 / J4: grouped-aggregate pandas UDAF (SURVEY §2 D10, J4)
 # =========================================================================
