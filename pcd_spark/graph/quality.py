@@ -1,0 +1,99 @@
+"""K9 — community quality metrics (extension beyond the SURVEY §2 core).
+
+Newman-Girvan modularity of a labeling over an undirected graph
+[PUB: Newman & Girvan 2004, "Finding and evaluating community structure"]:
+
+    Q = sum over communities c of [ L_c / m  -  (d_c / 2m)^2 ]
+
+where m = number of undirected edges, L_c = edges with both endpoints in c,
+d_c = sum of degrees of c's members. Every community-detection pipeline
+reports this to score its partitions (LPA/CC output plugs straight in as
+`labels`).
+
+Scale shape: closed-form — two vid-keyed equi-joins of the O(V) label table
+against the edge list plus two hash aggregations; no iteration, no Python.
+The label join keys on vid, so at 10^12-file scale it reuses the same
+hash-partitioning discipline as a superstep gather; the per-community
+aggregation state is O(#communities). Vertices absent from `labels` (or
+labeled but isolated) contribute 0 and are dropped by the inner joins —
+identical semantics in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pcd_spark.graph.edges import canonical_undirected
+
+
+def modularity_terms(
+    edges: DataFrame,
+    labels: DataFrame,
+    label_col: str = "label",
+    round_to: int | None = 8,
+) -> DataFrame:
+    """Per-community modularity contributions over the canonical undirected
+    form of `edges`. Returns (community, intra_edges, degree_sum, q_c) with
+    Q = sum(q_c). `labels` must be (vid, <label_col>). round_to rounds q_c
+    for hash-stable oracle comparison; None keeps full double precision
+    (the scalar modularity() path)."""
+    canon = canonical_undirected(edges).persist()
+    m = canon.count()
+    if m == 0:
+        return canon.select(
+            F.col("src").alias("community"),
+            F.lit(0).alias("intra_edges"),
+            F.lit(0).alias("degree_sum"),
+            F.lit(0.0).alias("q_c"),
+        )
+    lab = labels.select("vid", F.col(label_col).alias("community"))
+
+    both = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("deg")
+    )
+    d_c = (
+        deg.join(lab, "vid")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("degree_sum"))
+    )
+    l_c = (
+        canon.join(
+            lab.select(F.col("vid").alias("src"), F.col("community").alias("ca")),
+            "src",
+        )
+        .join(
+            lab.select(F.col("vid").alias("dst"), F.col("community").alias("cb")),
+            "dst",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    md = float(m)
+    q = F.coalesce("intra_edges", F.lit(0)) / F.lit(md) - F.pow(
+        F.col("degree_sum") / F.lit(2.0 * md), 2
+    )
+    if round_to is not None:
+        q = F.round(q, round_to)
+    return d_c.join(l_c, "community", "left").select(
+        "community",
+        F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+        "degree_sum",
+        q.alias("q_c"),
+    )
+
+
+def modularity(
+    edges: DataFrame, labels: DataFrame, label_col: str = "label"
+) -> float:
+    """Scalar Newman modularity Q of `labels` over `edges`."""
+    row = (
+        modularity_terms(edges, labels, label_col, round_to=None)
+        .agg(F.coalesce(F.sum("q_c"), F.lit(0.0)).alias("q"))
+        .first()
+    )
+    return float(row["q"])

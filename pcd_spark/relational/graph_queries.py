@@ -176,3 +176,52 @@ def k8(spark, sf):
         .orderBy(F.desc("rank"), F.asc("repo"), F.asc("path"))
         .limit(25)
     )
+
+
+_LABELS_SQL = f"""
+  SELECT c_custkey AS vid, c_nationkey AS community FROM customer
+  UNION ALL
+  SELECT {SUPPLIER_OFFSET} + s_suppkey AS vid, s_nationkey AS community
+  FROM supplier
+"""
+
+
+@g(
+    "k9_modularity",
+    f"""WITH edges AS ({_CS_EDGES_SQL}),
+        m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM edges),
+        sym AS (SELECT src, dst FROM edges
+                UNION ALL SELECT dst, src FROM edges),
+        deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
+        lab AS ({_LABELS_SQL}),
+        dc AS (SELECT l.community, SUM(d.deg) AS degree_sum
+               FROM deg d JOIN lab l ON d.vid = l.vid GROUP BY l.community),
+        lc AS (SELECT la.community, COUNT(*) AS intra_edges
+               FROM edges e JOIN lab la ON e.src = la.vid
+                            JOIN lab lb ON e.dst = lb.vid
+               WHERE la.community = lb.community GROUP BY la.community)
+        SELECT dc.community,
+               COALESCE(lc.intra_edges, 0) AS intra_edges,
+               dc.degree_sum,
+               ROUND(COALESCE(lc.intra_edges, 0) / m.m
+                     - POW(dc.degree_sum / (2 * m.m), 2), 8) AS q_c
+        FROM dc LEFT JOIN lc ON dc.community = lc.community
+        CROSS JOIN m""",
+)
+def k9(spark, sf):
+    """K9: Newman modularity of the NATION partition over the
+    customer-supplier graph — per-community contributions q_c; the scalar
+    Q = sum(q_c) is what a community-detection run reports for its labels
+    (LPA/CC output plugs into the same modularity_terms). Closed-form, so
+    fully SQL-oracled, unlike the iterative k3/k5."""
+    from pcd_spark.graph.quality import modularity_terms
+
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("vid"), F.col("c_nationkey").alias("label")
+    )
+    supp = load(spark, sf, "supplier").select(
+        (F.lit(SUPPLIER_OFFSET) + F.col("s_suppkey")).alias("vid"),
+        F.col("s_nationkey").alias("label"),
+    )
+    labels = cust.unionByName(supp)
+    return modularity_terms(cust_supp_edges(spark, sf), labels)

@@ -142,6 +142,39 @@ def test_triangles_degree_broadcast_plan_and_fallback(spark, graphs):
     assert got_b == got_s
 
 
+# ---------- Modularity (K9) ---------------------------------------------------
+
+@pytest.mark.parametrize("name", ["karate", "er_200", "two_cliques"])
+def test_modularity_matches_networkx(spark, graphs, name):
+    """K9 vs networkx.community.modularity on (a) exact CC communities and
+    (b) an arbitrary vid%3 partition — same Newman formula, 1e-9."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from pcd_spark.graph import modularity
+
+    g = graphs[name]
+    e = edges_df(spark, g["edges"])
+    G = _nx_graph(g, False)
+    G.remove_nodes_from(list(nx.isolates(G)))  # inner-join semantics
+
+    cc = connected_components(e)
+    labels_cc = cc.select("vid", F.col("component").alias("label"))
+    comm = defaultdict(set)
+    for r in labels_cc.collect():
+        comm[r["label"]].add(r["vid"])
+    want = nx.community.modularity(G, comm.values())
+    assert abs(modularity(e, labels_cc) - want) < 1e-9
+
+    labels_mod = cc.select("vid", (F.col("vid") % 3).alias("label"))
+    comm3 = defaultdict(set)
+    for r in labels_mod.collect():
+        comm3[r["label"]].add(r["vid"])
+    want3 = nx.community.modularity(G, [c for c in comm3.values() if c])
+    assert abs(modularity(e, labels_mod) - want3) < 1e-9
+
+
 # ---------- SNAP reader ---------------------------------------------------------
 
 def test_snap_reader_roundtrip(spark, graphs, snap_dir):
