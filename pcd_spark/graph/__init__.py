@@ -9,3 +9,4 @@ from pcd_spark.graph.cc import connected_components  # noqa: F401
 from pcd_spark.graph.lpa import label_propagation  # noqa: F401
 from pcd_spark.graph.triangles import triangle_counts  # noqa: F401
 from pcd_spark.graph.quality import modularity, modularity_terms  # noqa: F401
+from pcd_spark.graph.kcore import k_core  # noqa: F401

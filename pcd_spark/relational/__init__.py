@@ -55,7 +55,7 @@ _PRIORITY = [
     "m2_blob_features",
     "v4_ivf_topk", "x10_neardup_clusters",
     "k3_pagerank_top20", "k5_lpa_community_sizes", "k8_corpus_pipeline",
-    "k9_modularity",
+    "k9_modularity", "k10_kcore",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

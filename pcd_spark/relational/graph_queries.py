@@ -225,3 +225,13 @@ def k9(spark, sf):
     )
     labels = cust.unionByName(supp)
     return modularity_terms(cust_supp_edges(spark, sf), labels)
+
+
+@g("k10_kcore", None)  # iterative peeling; exactness pinned vs networkx in pytest
+def k10(spark, sf):
+    """K10: 3-core of the part co-occurrence graph (the triangle-bearing
+    one) — vertices surviving iterative degree-<3 peeling, with their
+    within-core degree."""
+    from pcd_spark.graph import k_core
+
+    return k_core(part_cooccurrence_edges(spark, sf), k=3)

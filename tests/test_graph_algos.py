@@ -175,6 +175,30 @@ def test_modularity_matches_networkx(spark, graphs, name):
     assert abs(modularity(e, labels_mod) - want3) < 1e-9
 
 
+# ---------- k-core (K10) -------------------------------------------------------
+
+@pytest.mark.parametrize("name,k", [("karate", 2), ("karate", 4), ("er_200", 3), ("two_cliques", 3)])
+def test_kcore_matches_networkx(spark, graphs, name, k):
+    """K10 vs nx.k_core: exact vertex set AND within-core degrees."""
+    from pcd_spark.graph import k_core
+
+    g = graphs[name]
+    got = {
+        r["vid"]: r["core_deg"]
+        for r in k_core(edges_df(spark, g["edges"]), k=k).collect()
+    }
+    C = nx.k_core(_nx_graph(g, False), k)
+    want = {v: d for v, d in C.degree()}
+    assert got == want
+
+
+def test_kcore_empty_when_k_exceeds_graph(spark, graphs):
+    from pcd_spark.graph import k_core
+
+    g = graphs["karate"]
+    assert k_core(edges_df(spark, g["edges"]), k=50).count() == 0
+
+
 # ---------- SNAP reader ---------------------------------------------------------
 
 def test_snap_reader_roundtrip(spark, graphs, snap_dir):
