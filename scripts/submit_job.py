@@ -20,11 +20,13 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
-                    choices=["pagerank", "cc", "lpa", "triangles"])
+                    choices=["pagerank", "cc", "lpa", "triangles", "kcore",
+                             "modularity"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--max-iter", type=int, default=50)
+    ap.add_argument("--k", type=int, default=3, help="k for --algo kcore")
     args = ap.parse_args()
 
     # SparkSession comes from spark-submit; imports resolve from --py-files
@@ -32,7 +34,9 @@ def main() -> None:
 
     from pcd_spark.graph import (
         connected_components,
+        k_core,
         label_propagation,
+        modularity_terms,
         pagerank,
         read_snap_edges,
         triangle_counts,
@@ -56,6 +60,14 @@ def main() -> None:
     elif args.algo == "lpa":
         res = label_propagation(edges, max_iter=args.max_iter, store=store,
                                 stats_out=stats)
+    elif args.algo == "kcore":
+        res = k_core(edges, k=args.k, max_iter=args.max_iter, store=store,
+                     stats_out=stats)
+    elif args.algo == "modularity":
+        # score the LPA partition of the input graph (the standard report)
+        labels = label_propagation(edges, max_iter=args.max_iter, store=store,
+                                   stats_out=stats)
+        res = modularity_terms(edges, labels)
     else:
         res = triangle_counts(edges)
 
