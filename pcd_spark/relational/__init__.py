@@ -13,9 +13,8 @@ _ALL: dict = {**_CORE, **_TEXT, **_GRAPH}
 # entries); they just don't consume driver-window slots that families with
 # no other driver row need.
 _PRIORITY = [
-    # B. projection / filters (b4 -> pytest mirror)
+    # B. projection / filters (b4/b5 -> pytest mirror)
     "b1_project_cast", "b2_filter_range", "b3_filter_in_null_like",
-    "b5_conditional_projection",
     # C. joins (outer/semi/anti -> pytest mirror; the distinct strategies stay)
     "c1_join_inner_agg", "c2_join_broadcast_dims", "c3_join_shuffle_hash_hint",
     "c7_self_join_theta", "c8_range_join", "c9_asof_join",
@@ -36,26 +35,29 @@ _PRIORITY = [
     "i4_session_window_batch",
     # J. pandas/Arrow surfaces
     "j2_blob_digest", "j3_scalar_pandas_udf",
-    # X. dedup / text analysis
+    # X. dedup / text analysis (x8 -> pytest mirror; x10 is the composite
+    # LSH -> connected-components dedup-clustering showcase)
     "x1_dedup_exact", "x2_minhash_signature", "x3_minhash_lsh_buckets",
     "x4_ngram_jaccard_pairs", "x5_token_count", "x6_quality_score",
-    "x7_langid_heuristic", "x8_fingerprint", "x9_simhash",
+    "x7_langid_heuristic", "x9_simhash", "x10_neardup_clusters",
     # V. similarity search
     "v1_cosine_topk", "v2_lsh_sign_buckets", "v3_embedding_neardup",
     # M. multimodal
     "m3_frame_sample",
-    # K. graph (SQL-oracled rows; iterative k3/k5/k8 are numpy/networkx-pinned)
-    "k1_degrees", "k4_connected_components", "k6_triangles",
+    # K. graph (SQL-oracled rows; iterative k3/k5/k8/k10 are
+    # numpy/networkx-pinned)
+    "k1_degrees", "k4_connected_components", "k6_triangles", "k9_modularity",
     # ---- position 51+: registered, pytest-oracled, outside driver window ----
-    "b4_bool_combinators", "c4_join_left_outer", "c5_join_left_semi",
+    "b4_bool_combinators", "b5_conditional_projection",
+    "c4_join_left_outer", "c5_join_left_semi",
     "c6_join_left_anti", "d5_approx_count_distinct", "d9b_cube",
     "e2_dense_rank", "e4_lag_delta", "e6_ntile_percent_rank",
     "g2_intersect", "g3_except", "h3_string_basics", "h5_date_functions",
     "h6_math", "i2_tumbling_window_batch", "i3_sliding_window_batch",
-    "m2_blob_features",
-    "v4_ivf_topk", "x10_neardup_clusters",
+    "m2_blob_features", "x8_fingerprint",
+    "v4_ivf_topk",
     "k3_pagerank_top20", "k5_lpa_community_sizes", "k8_corpus_pipeline",
-    "k9_modularity", "k10_kcore",
+    "k10_kcore",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (
