@@ -8,5 +8,9 @@ from pcd_spark.graph.pagerank import pagerank  # noqa: F401
 from pcd_spark.graph.cc import connected_components  # noqa: F401
 from pcd_spark.graph.lpa import label_propagation  # noqa: F401
 from pcd_spark.graph.triangles import triangle_counts  # noqa: F401
-from pcd_spark.graph.quality import modularity, modularity_terms  # noqa: F401
+from pcd_spark.graph.quality import (  # noqa: F401
+    local_clustering,
+    modularity,
+    modularity_terms,
+)
 from pcd_spark.graph.kcore import k_core  # noqa: F401

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pcd_spark.graph.edges import canonical_undirected
+from pcd_spark.graph.triangles import triangle_counts
 
 
 def modularity_terms(
@@ -97,3 +98,34 @@ def modularity(
         .first()
     )
     return float(row["q"])
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """K11: per-vertex local clustering coefficient
+    lcc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)), 0 when deg < 2
+    [PUB: Watts & Strogatz 1998]. Pure composition: K6 triangle counts
+    joined to K1 degrees — inherits K6's degree-ordered orientation (hub-
+    safe wedge fan-out), adds one vid-keyed join + one codegen'd expression.
+    Returns (vid, tri, deg, lcc) with lcc rounded to 8 for oracle-stable
+    comparison."""
+    e = edges.persist()
+    tri = triangle_counts(e)
+    canon = canonical_undirected(e)
+    both = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("deg")
+    )
+    return tri.join(deg, "vid").select(
+        "vid",
+        "tri",
+        "deg",
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                2.0 * F.col("tri") / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(F.lit(0.0)),
+            8,
+        ).alias("lcc"),
+    )

@@ -235,3 +235,39 @@ def k10(spark, sf):
     from pcd_spark.graph import k_core
 
     return k_core(part_cooccurrence_edges(spark, sf), k=3)
+
+
+@g(
+    "k11_clustering_coefficient",
+    f"""WITH canon AS ({_PART_EDGES_SQL}),
+        both_dir AS (SELECT src, dst FROM canon
+                     UNION ALL SELECT dst, src FROM canon),
+        deg AS (SELECT src AS vid, COUNT(*) AS d FROM both_dir GROUP BY src),
+        oriented AS (
+          SELECT CASE WHEN (ds.d, c.src) < (dd.d, c.dst) THEN c.src ELSE c.dst END AS u,
+                 CASE WHEN (ds.d, c.src) < (dd.d, c.dst) THEN c.dst ELSE c.src END AS v
+          FROM canon c
+          JOIN deg ds ON ds.vid = c.src
+          JOIN deg dd ON dd.vid = c.dst),
+        tris AS (
+          SELECT w1.u AS a, w1.v AS b, w2.v AS c
+          FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u AND w1.v <> w2.v
+          JOIN oriented e ON e.u = w1.v AND e.v = w2.v),
+        per_v AS (
+          SELECT vid, COUNT(*) AS tri FROM (
+            SELECT a AS vid FROM tris UNION ALL
+            SELECT b FROM tris UNION ALL SELECT c FROM tris)
+          GROUP BY vid)
+        SELECT deg.vid, COALESCE(per_v.tri, 0) AS tri, deg.d AS deg,
+               ROUND(CASE WHEN deg.d >= 2
+                          THEN 2.0 * COALESCE(per_v.tri, 0)
+                               / (deg.d * (deg.d - 1))
+                          ELSE 0 END, 8) AS lcc
+        FROM deg LEFT JOIN per_v ON deg.vid = per_v.vid""",
+)
+def k11(spark, sf):
+    """K11: Watts-Strogatz local clustering coefficient over the part
+    co-occurrence graph — K6 triangles / K1 wedge counts per vertex."""
+    from pcd_spark.graph import local_clustering
+
+    return local_clustering(part_cooccurrence_edges(spark, sf))

@@ -21,7 +21,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "cc", "lpa", "triangles", "kcore",
-                             "modularity"])
+                             "modularity", "lcc"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -36,6 +36,7 @@ def main() -> None:
         connected_components,
         k_core,
         label_propagation,
+        local_clustering,
         modularity_terms,
         pagerank,
         read_snap_edges,
@@ -68,6 +69,8 @@ def main() -> None:
         labels = label_propagation(edges, max_iter=args.max_iter, store=store,
                                    stats_out=stats)
         res = modularity_terms(edges, labels)
+    elif args.algo == "lcc":
+        res = local_clustering(edges)
     else:
         res = triangle_counts(edges)
 

@@ -175,6 +175,23 @@ def test_modularity_matches_networkx(spark, graphs, name):
     assert abs(modularity(e, labels_mod) - want3) < 1e-9
 
 
+# ---------- Local clustering coefficient (K11) ---------------------------------
+
+@pytest.mark.parametrize("name", ["karate", "er_200", "two_cliques"])
+def test_local_clustering_matches_networkx(spark, graphs, name):
+    from pcd_spark.graph import local_clustering
+
+    g = graphs[name]
+    got = {
+        r["vid"]: r["lcc"]
+        for r in local_clustering(edges_df(spark, g["edges"])).collect()
+    }
+    want = nx.clustering(_nx_graph(g, False))
+    assert set(got) == {v for v in want if _nx_graph(g, False).degree(v) > 0}
+    for v, c in got.items():
+        assert abs(c - want[v]) < 1e-7, (v, c, want[v])
+
+
 # ---------- k-core (K10) -------------------------------------------------------
 
 @pytest.mark.parametrize("name,k", [("karate", 2), ("karate", 4), ("er_200", 3), ("two_cliques", 3)])
