@@ -57,7 +57,7 @@ _PRIORITY = [
     "m2_blob_features", "x8_fingerprint",
     "v4_ivf_topk",
     "k3_pagerank_top20", "k5_lpa_community_sizes", "k8_corpus_pipeline",
-    "k10_kcore", "k11_clustering_coefficient",
+    "k10_kcore", "k11_clustering_coefficient", "k12_bfs_distances",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

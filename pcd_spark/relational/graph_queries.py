@@ -238,6 +238,34 @@ def k10(spark, sf):
 
 
 @g(
+    "k12_bfs_distances",
+    f"""WITH RECURSIVE
+        edges AS (SELECT src, dst FROM ({_CS_EDGES_SQL}) WHERE src < 500),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        root AS (SELECT MIN(src) AS v FROM edges),
+        -- UNION-distinct explores (vid, dist) pairs; the dist < 40 bound is
+        -- what terminates cycles, and is far above this graph's diameter
+        -- (the engine's own superstep count confirms convergence well
+        -- before 40 at every sf)
+        bfs(vid, dist) AS (
+          SELECT v, 0 FROM root
+          UNION
+          SELECT e.dst, b.dist + 1 FROM bfs b JOIN sym e ON e.src = b.vid
+          WHERE b.dist < 40)
+        SELECT vid, CAST(MIN(dist) AS DOUBLE) AS dist
+        FROM bfs GROUP BY vid""",
+)
+def k12(spark, sf):
+    """K12: multi-superstep BFS hop distances on the bounded
+    customer-supplier graph, from its minimum vertex id."""
+    from pcd_spark.graph import shortest_paths
+
+    e = cust_supp_edges(spark, sf).filter(F.col("src") < 500)
+    root = e.agg(F.min("src").alias("m")).first()["m"]
+    return shortest_paths(e, [int(root)])
+
+
+@g(
     "k11_clustering_coefficient",
     f"""WITH canon AS ({_PART_EDGES_SQL}),
         both_dir AS (SELECT src, dst FROM canon

@@ -21,12 +21,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "cc", "lpa", "triangles", "kcore",
-                             "modularity", "lcc"])
+                             "modularity", "lcc", "sssp"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--k", type=int, default=3, help="k for --algo kcore")
+    ap.add_argument("--source", type=int, action="append", default=None,
+                    help="source vertex for --algo sssp (repeatable)")
     args = ap.parse_args()
 
     # SparkSession comes from spark-submit; imports resolve from --py-files
@@ -40,6 +42,7 @@ def main() -> None:
         modularity_terms,
         pagerank,
         read_snap_edges,
+        shortest_paths,
         triangle_counts,
     )
     from pcd_spark.storage import CheckpointStore
@@ -71,6 +74,11 @@ def main() -> None:
         res = modularity_terms(edges, labels)
     elif args.algo == "lcc":
         res = local_clustering(edges)
+    elif args.algo == "sssp":
+        if not args.source:
+            ap.error("--algo sssp requires at least one --source")
+        res = shortest_paths(edges, args.source, max_iter=args.max_iter,
+                             store=store, stats_out=stats)
     else:
         res = triangle_counts(edges)
 

@@ -192,6 +192,83 @@ def test_local_clustering_matches_networkx(spark, graphs, name):
         assert abs(c - want[v]) < 1e-7, (v, c, want[v])
 
 
+# ---------- shortest paths (K12) -----------------------------------------------
+
+@pytest.mark.parametrize("name,src", [("karate", 0), ("path_100", 0), ("er_200", 7)])
+def test_sssp_hops_match_networkx(spark, graphs, name, src):
+    from pcd_spark.graph import shortest_paths
+
+    g = graphs[name]
+    got = {
+        r["vid"]: r["dist"]
+        for r in shortest_paths(edges_df(spark, g["edges"]), [src]).collect()
+    }
+    want = nx.single_source_shortest_path_length(_nx_graph(g, False), src)
+    # engine's vertex universe excludes isolated vertices; nx includes src
+    want = {v: float(d) for v, d in want.items()}
+    assert got == {v: d for v, d in want.items() if v in got}
+    assert set(want) - set(got) <= {src}  # src absent only if isolated
+
+
+def test_sssp_directed_matches_networkx(spark, graphs):
+    from pcd_spark.graph import shortest_paths
+
+    g = graphs["directed_toy"]
+    got = {
+        r["vid"]: r["dist"]
+        for r in shortest_paths(
+            edges_df(spark, g["edges"]), [0], directed=True
+        ).collect()
+    }
+    want = nx.single_source_shortest_path_length(_nx_graph(g, True), 0)
+    assert got == {v: float(d) for v, d in want.items()}
+
+
+def test_sssp_weighted_matches_dijkstra(spark, graphs):
+    """Weighted relaxation vs nx Dijkstra on karate with deterministic
+    pseudo-random non-negative weights."""
+    from pcd_spark.graph import shortest_paths
+
+    g = graphs["karate"]
+    wedges = [
+        (u, v, 1.0 + ((u * 31 + v * 17) % 10) / 4.0) for u, v in g["edges"]
+    ]
+    df = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    got = {
+        r["vid"]: r["dist"]
+        for r in shortest_paths(df, [0], weight_col="weight").collect()
+    }
+    G = nx.Graph()
+    G.add_weighted_edges_from(wedges)
+    want = nx.single_source_dijkstra_path_length(G, 0)
+    assert set(got) == set(want)
+    for v in got:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_sssp_multi_source(spark, graphs):
+    from pcd_spark.graph import shortest_paths
+
+    g = graphs["two_cliques"]  # bridge 9-10; sources in both cliques
+    got = {
+        r["vid"]: r["dist"]
+        for r in shortest_paths(edges_df(spark, g["edges"]), [0, 19]).collect()
+    }
+    want = nx.multi_source_dijkstra_path_length(_nx_graph(g, False), {0, 19})
+    assert got == {v: float(d) for v, d in want.items()}
+
+
+def test_sssp_unreachable_absent(spark, graphs):
+    from pcd_spark.graph import shortest_paths
+
+    g = graphs["two_cliques_split"]  # two disconnected K10s
+    got = {
+        r["vid"]
+        for r in shortest_paths(edges_df(spark, g["edges"]), [0]).collect()
+    }
+    assert got == set(range(10))
+
+
 # ---------- k-core (K10) -------------------------------------------------------
 
 @pytest.mark.parametrize("name,k", [("karate", 2), ("karate", 4), ("er_200", 3), ("two_cliques", 3)])
