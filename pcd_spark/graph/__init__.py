@@ -14,4 +14,5 @@ from pcd_spark.graph.quality import (  # noqa: F401
     modularity_terms,
 )
 from pcd_spark.graph.kcore import k_core  # noqa: F401
+from pcd_spark.graph.louvain import louvain  # noqa: F401
 from pcd_spark.graph.sssp import shortest_paths  # noqa: F401

@@ -38,6 +38,36 @@ from pcd_spark.storage import CheckpointStore
 StepFn = Callable[[DataFrame, int], DataFrame]  # returns state cols + `_delta`
 
 
+def reset_plan_stats(ck: DataFrame) -> DataFrame:
+    """Wrap an (already materialized) localCheckpoint in a FRESH logical plan
+    with default statistics — zero-copy over the same InternalRow RDD.
+
+    Why this exists: `localCheckpoint` truncates LINEAGE but PRESERVES the
+    originating plan's estimated statistics on its LogicalRDD. Catalyst's
+    size estimate of a join is the PRODUCT of its children's sizeInBytes
+    (BigInt), so an iterative algorithm whose per-step plan joins the state
+    j times compounds sizeInBytes ~(prev^j) per step — the bit-LENGTH of the
+    stat grows j^step and join-strategy selection ends up burning minutes in
+    BigInteger.multiply on numbers with millions of bits (measured: Louvain
+    move rounds went 1 s → 14 s → 112 s on a 34-vertex graph; jstack showed
+    SizeInBytesOnlyStatsPlanVisitor under BigInteger.multiplyToomCook3).
+    PageRank/LPA historically dodged it because their explicit shuffle_hash
+    hints mean join selection never materializes those stats — this reset
+    makes every K7 algorithm immune instead of hint-lucky. Same trick as
+    GraphFrames' AggregateMessages.getCachedDataFrame (public upstream
+    workaround for the same iterative-plan pathology).
+
+    Classic (non-Connect) py4j API; the caller keeps `ck` around and
+    unpersists it once the NEXT state is materialized — unpersisting the
+    wrapper would not release the checkpoint blocks."""
+    qe = ck._jdf.queryExecution()
+    spark = ck.sparkSession
+    jdf = spark._jsparkSession.internalCreateDataFrame(
+        qe.toRdd(), qe.analyzed().schema(), False
+    )
+    return DataFrame(jdf, spark)
+
+
 def run_supersteps(
     init_state: DataFrame,
     step_fn: StepFn,
@@ -82,7 +112,8 @@ def run_supersteps(
             start_iter = m.iteration
             metrics = store.metrics_lineage()
 
-    state = state.localCheckpoint(eager=True)
+    ck = state.localCheckpoint(eager=True)
+    state = reset_plan_stats(ck)
 
     def _agg_state(df: DataFrame) -> float:
         aggs = [F.coalesce(F.sum("_delta"), F.lit(0.0)).alias("_d")]
@@ -120,7 +151,7 @@ def run_supersteps(
             # observe() fuses the convergence Allreduce into the checkpoint
             # materialization job — one job, one driver round-trip per superstep
             obs = Observation(f"pcd_step_{it}")
-            new = (
+            new_ck = (
                 step_fn(state, it).observe(obs, *agg_cols).localCheckpoint(eager=True)
             )
             row = obs.get
@@ -135,9 +166,14 @@ def run_supersteps(
             if store is not None and (
                 it % checkpoint_every == 0 or delta < tol or it == max_iter
             ):
-                new = store.checkpoint(it, new, delta).localCheckpoint(eager=True)
-            state.unpersist()
-            state = new
+                durable = store.checkpoint(it, new_ck, delta).localCheckpoint(
+                    eager=True
+                )
+                new_ck.unpersist()
+                new_ck = durable
+            ck.unpersist()
+            ck = new_ck
+            state = reset_plan_stats(ck)
             if delta < tol:
                 break
     finally:

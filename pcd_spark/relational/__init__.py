@@ -56,8 +56,10 @@ _PRIORITY = [
     "h6_math", "i2_tumbling_window_batch", "i3_sliding_window_batch",
     "m2_blob_features", "x8_fingerprint",
     "v4_ivf_topk",
+    "x11_repetition_metrics", "x12_decontamination", "x13_pii_scrub",
     "k3_pagerank_top20", "k5_lpa_community_sizes", "k8_corpus_pipeline",
     "k10_kcore", "k11_clustering_coefficient", "k12_bfs_distances",
+    "k13_louvain_communities",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -299,3 +299,27 @@ def k11(spark, sf):
     from pcd_spark.graph import local_clustering
 
     return local_clustering(part_cooccurrence_edges(spark, sf))
+
+
+@g("k13_louvain_communities", None)  # iterative; structurally pinned in pytest
+def k13(spark, sf):
+    """K13: Louvain modularity-maximizing communities over the part
+    co-occurrence graph (the one with real cluster structure); community
+    sizes + per-community modularity contribution via K9's closed form, so
+    the output reports both WHO clusters together and HOW GOOD the
+    clustering is. Exactness is pinned structurally in tests/test_louvain.py
+    (clique recovery, brute-force optimum, coarsening invariants)."""
+    from pcd_spark.graph import louvain
+    from pcd_spark.graph.quality import modularity_terms
+
+    e = part_cooccurrence_edges(spark, sf)
+    labels = louvain(e)
+    terms = modularity_terms(e, labels)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("size"))
+        .join(terms.withColumnRenamed("community", "label"), "label")
+        .select("label", "size", "intra_edges", "degree_sum", "q_c")
+        .orderBy(F.desc("size"), F.asc("label"))
+        .limit(50)
+    )

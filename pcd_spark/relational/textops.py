@@ -660,6 +660,161 @@ def v4(spark, sf):
     )
 
 
+_X11_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+           FROM documents WHERE LENGTH(text) > 0),
+arrm AS (
+  SELECT doc_id, len(words) AS n_words,
+    CASE WHEN len(words) >= 2 THEN ROUND(1.0
+      - len(list_distinct(list_transform(generate_series(1, len(words)-1),
+            i -> array_to_string(words[i:i+1], ' ')))) * 1.0 / (len(words)-1), 6)
+      ELSE 0.0 END AS dup_2gram_frac,
+    CASE WHEN len(words) >= 3 THEN ROUND(1.0
+      - len(list_distinct(list_transform(generate_series(1, len(words)-2),
+            i -> array_to_string(words[i:i+2], ' ')))) * 1.0 / (len(words)-2), 6)
+      ELSE 0.0 END AS dup_3gram_frac
+  FROM d),
+topw AS (
+  SELECT doc_id, ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_word_frac
+  FROM (SELECT doc_id, w, COUNT(*) cnt FROM d, unnest(words) t(w)
+        GROUP BY doc_id, w)
+  GROUP BY doc_id)
+SELECT arrm.doc_id, n_words, top_word_frac, dup_2gram_frac, dup_3gram_frac
+FROM arrm JOIN topw USING (doc_id)
+"""
+
+
+def _wgrams(words, n: int):
+    # word n-grams via 1-based slice over a guarded ascending sequence
+    # (F.sequence(1, x) with x < 1 silently generates a DESCENDING range —
+    # callers must pre-filter size(words) >= n)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+
+
+@qt("x11_repetition_metrics", _X11_SQL)
+def x11(spark, sf):
+    # Gopher-style repetition quality signals [PUB: Rae et al. 2021,
+    # "Scaling Language Models: ... Gopher", §A1.1]: fraction of duplicate
+    # word n-grams + most-frequent-word share. The n-gram fractions are pure
+    # per-row array expressions (codegen, zero shuffle); the top-word share
+    # is the scalable explode->two-hash-agg shape — per-doc state never
+    # exceeds the doc's distinct-word count, so a 100 TB corpus streams.
+    d = (
+        load(spark, sf, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.split("text", " ").alias("words"))
+    )
+    w = F.col("words")
+
+    def dup_frac(n: int):
+        grams = _wgrams(w, n)
+        total = F.size(w) - (n - 1)
+        return F.when(
+            F.size(w) >= n,
+            F.round(
+                1.0 - F.size(F.array_distinct(grams)).cast("double") / total, 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    arrm = d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+    topw = (
+        d.select("doc_id", F.explode(w).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias(
+                "top_word_frac"
+            )
+        )
+    )
+    return arrm.join(topw, "doc_id").select(
+        "doc_id", "n_words", "top_word_frac", "dup_2gram_frac", "dup_3gram_frac"
+    )
+
+
+@qt(
+    "x12_decontamination",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') words FROM documents
+                  WHERE len(string_split(text, ' ')) >= 3),
+       grams AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') g
+                 FROM d, unnest(generate_series(1, len(words)-2)) t(i)),
+       bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+       SELECT doc_id, COUNT(DISTINCT g) AS hit_grams
+       FROM grams JOIN bench USING (g) WHERE doc_id % 50 <> 0
+       GROUP BY doc_id""",
+)
+def x12(spark, sf):
+    # Benchmark decontamination: flag training docs sharing any word n-gram
+    # with a held-out benchmark set (the standard n-gram-overlap test-set
+    # leak check; n is a knob — 3 here because the synthetic vocabulary is
+    # tiny, 8-13 on natural text). The benchmark slice is deterministic
+    # (doc_id % 50). Scale shape: benchmark gram sets are SMALL by nature
+    # (benchmarks are, even when the corpus is 100 TB) -> broadcast them and
+    # the corpus side never shuffles; per-doc dedup of hit grams is one
+    # hash-agg keyed by doc.
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 3)
+    )
+    grams = d.select("doc_id", F.explode(_wgrams(F.col("words"), 3)).alias("g"))
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("hit_grams"))
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_ENTITY = r"\b(customer|supplier)\b"
+
+
+@qt(
+    "x13_pii_scrub",
+    f"""SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PII_ENTITY}')) AS n_entity_terms,
+         sha256(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_ENTITY}', '<ENT>', 'g')) AS scrubbed_sha
+       FROM documents""",
+)
+def x13(spark, sf):
+    # PII scrubbing pass: pattern redaction (email regex — the real-world
+    # pattern, 0 hits on this synthetic corpus by construction) + term-list
+    # redaction (entity words standing in for name lists, which DO hit).
+    # Emitting sha256(scrubbed) instead of the scrubbed text keeps the
+    # redaction result hash-verifiable without carrying the fat column
+    # through the shuffle — same discipline as x1. All JVM regex, no Python.
+    d = load(spark, sf, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_ENTITY, "<ENT>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_ENTITY), F.lit(0))).alias(
+            "n_entity_terms"
+        ),
+        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
+    )
+
+
 @qt(
     "x10_neardup_clusters",
     f"""WITH RECURSIVE

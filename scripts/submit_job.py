@@ -21,7 +21,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "cc", "lpa", "triangles", "kcore",
-                             "modularity", "lcc", "sssp"])
+                             "modularity", "lcc", "sssp", "louvain"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -39,6 +39,7 @@ def main() -> None:
         k_core,
         label_propagation,
         local_clustering,
+        louvain,
         modularity_terms,
         pagerank,
         read_snap_edges,
@@ -74,6 +75,8 @@ def main() -> None:
         res = modularity_terms(edges, labels)
     elif args.algo == "lcc":
         res = local_clustering(edges)
+    elif args.algo == "louvain":
+        res = louvain(edges, max_levels=args.max_iter, stats_out=stats)
     elif args.algo == "sssp":
         if not args.source:
             ap.error("--algo sssp requires at least one --source")
@@ -83,11 +86,15 @@ def main() -> None:
         res = triangle_counts(edges)
 
     res.write.mode("overwrite").parquet(args.out)
-    print(json.dumps({
+    out = {
         "algo": args.algo,
         "rows": spark.read.parquet(args.out).count(),
         "iterations": stats.get("iterations"),
-    }))
+    }
+    if "q" in stats:  # louvain reports final modularity + per-level shape
+        out["q"] = stats["q"]
+        out["levels"] = len(stats.get("levels", []))
+    print(json.dumps(out))
     spark.stop()
 
 
