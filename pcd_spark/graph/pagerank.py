@@ -44,12 +44,22 @@ def pagerank(
     store: CheckpointStore | None = None,
     checkpoint_every: int = 10,
     stats_out: dict | None = None,
+    sources: list[int] | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge table (src, dst[, weight]).
 
     Returns DataFrame(vid: long, rank: double), sum(rank) == 1.
     Stopping rule: L1 delta < tol; fixed-point error <= delta * d/(1-d)
     ≈ 5.7*tol, so the default 1e-8 comfortably meets the 1e-6 bar.
+
+    K14 personalized mode (`sources=[...]`): teleport AND dangling mass
+    redistribute uniformly over the source set instead of all vertices —
+    networkx `pagerank(personalization=...)` semantics, where the dangling
+    distribution defaults to the personalization vector. The reset weight is
+    a static per-vertex state column, so the per-superstep plan is identical
+    to the uniform case (same joins, same single wide shuffle); only two
+    literals become column references. Vertices unreachable from the
+    sources converge to rank 0.
     """
     p = num_parts or default_num_parts(edges)
 
@@ -78,16 +88,38 @@ def pagerank(
     has_danglers = danglers.count() > 0
 
     teleport = (1.0 - damping) / n
-    state_cols = ["vid", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("_delta")]
-    if has_danglers:
-        verts_flagged = verts.join(
-            danglers.select("vid", F.lit(True).alias("dang")), "vid", "left"
-        ).select("vid", F.coalesce("dang", F.lit(False)).alias("dang"))
-        init = verts_flagged.select(
-            "vid", F.lit(1.0 / n).alias("rank"), "dang", F.lit(1.0).alias("_delta")
-        )
-    else:
-        init = verts.select(*state_cols)
+    personalized = sources is not None
+    src_df = None
+    if personalized:
+        src_set = sorted({int(v) for v in sources})
+        if not src_set:
+            raise ValueError("pagerank: sources must be non-empty when given")
+        # reset weights join once at init (broadcast: source sets are small
+        # by nature — a query's seed vertices, not the graph) and then ride
+        # the state as a static column; no per-superstep join
+        src_df = edges.sparkSession.createDataFrame(
+            [(v,) for v in src_set], "vid long"
+        ).select("vid", F.lit(1.0 / len(src_set)).alias("reset"))
+
+    def _with_static_cols(df: DataFrame) -> DataFrame:
+        cols = ["vid"]
+        if personalized:
+            df = df.join(F.broadcast(src_df), "vid", "left")
+            cols.append(F.coalesce("reset", F.lit(0.0)).alias("reset"))
+        if has_danglers:
+            df = df.join(
+                danglers.select("vid", F.lit(True).alias("dang")), "vid", "left"
+            )
+            cols.append(F.coalesce("dang", F.lit(False)).alias("dang"))
+        return df.select(*cols)
+
+    static_cols = (["reset"] if personalized else []) + (
+        ["dang"] if has_danglers else []
+    )
+    init = _with_static_cols(verts).select(
+        "vid", F.lit(1.0 / n).alias("rank"), *static_cols,
+        F.lit(1.0).alias("_delta"),
+    )
     extras: dict = {}
 
     def step(state: DataFrame, _i: int) -> DataFrame:
@@ -109,40 +141,46 @@ def pagerank(
             .withColumnRenamed("dst", "vid")
         )
         # old rank rides along: state is the vertex universe
-        keep = ["vid", F.col("rank").alias("old")] + (
-            ["dang"] if has_danglers else []
-        )
+        keep = ["vid", F.col("rank").alias("old")] + static_cols
         base = state.select(*keep).join(
             contribs.hint("shuffle_hash"), "vid", "left"
         )
         if has_danglers:
             # dangling mass of the PREVIOUS state, summed by the driver in
-            # the same round-trip as the convergence delta — a literal here
-            extra = F.lit(float(extras.get("dmass") or 0.0) / n)
+            # the same round-trip as the convergence delta — a literal here,
+            # spread uniformly (1/n) or by the reset vector (personalized)
+            dmass = float(extras.get("dmass") or 0.0)
+            extra = (
+                F.lit(dmass) * F.col("reset")
+                if personalized
+                else F.lit(dmass / n)
+            )
         else:
             extra = F.lit(0.0)
-        new_rank = F.lit(teleport) + F.lit(damping) * (
+        reset_term = (
+            F.lit(1.0 - damping) * F.col("reset")
+            if personalized
+            else F.lit(teleport)
+        )
+        new_rank = reset_term + F.lit(damping) * (
             F.coalesce("contrib", F.lit(0.0)) + extra
         )
         out_cols = [
             F.col("vid"),
             new_rank.alias("rank"),
+            *[F.col(c) for c in static_cols],
             F.abs(new_rank - F.col("old")).alias("_delta"),
         ]
-        if has_danglers:
-            out_cols.insert(2, F.col("dang"))
         return base.select(*out_cols)
 
     def resume_fix(state: DataFrame) -> DataFrame:
-        # a checkpoint written by a pre-'dang' engine version lacks the flag;
-        # re-derive it from the danglers set so extra_aggs can reference it
-        if has_danglers and "dang" not in state.columns:
-            state = state.join(
-                danglers.select("vid", F.lit(True).alias("dang")), "vid", "left"
-            ).select(
-                "vid", "rank", F.coalesce("dang", F.lit(False)).alias("dang"),
-                "_delta",
-            )
+        # a checkpoint written by a pre-'dang'/'reset' engine version lacks
+        # the static columns; re-derive them so the step can reference them
+        missing = [c for c in static_cols if c not in state.columns]
+        if missing:
+            state = state.select("vid", "rank", "_delta").join(
+                _with_static_cols(state.select("vid")), "vid"
+            ).select("vid", "rank", *static_cols, "_delta")
         return state
 
     _secs: list[float] = []

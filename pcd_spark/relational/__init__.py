@@ -59,7 +59,7 @@ _PRIORITY = [
     "x11_repetition_metrics", "x12_decontamination", "x13_pii_scrub",
     "k3_pagerank_top20", "k5_lpa_community_sizes", "k8_corpus_pipeline",
     "k10_kcore", "k11_clustering_coefficient", "k12_bfs_distances",
-    "k13_louvain_communities",
+    "k13_louvain_communities", "k14_ppr_top20",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

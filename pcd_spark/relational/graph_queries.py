@@ -301,6 +301,25 @@ def k11(spark, sf):
     return local_clustering(part_cooccurrence_edges(spark, sf))
 
 
+@g("k14_ppr_top20", None)  # iterative; exactness pinned by the numpy oracle
+def k14(spark, sf):
+    """K14: personalized PageRank from a fixed seed set (customers 1-3) over
+    the customer-supplier graph — "which suppliers matter to THESE
+    customers", the standard seed-centric ranking next to K3's global one.
+    Exactness vs pagerank_numpy(sources=...) in tests/test_graph_algos.py."""
+    e = cust_supp_edges(spark, sf)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(sym, tol=1e-8, sources=[1, 2, 3])
+    return (
+        pr.filter(F.col("rank") > 1e-12)
+        .select("vid", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("vid"))
+        .limit(20)
+    )
+
+
 @g("k13_louvain_communities", None)  # iterative; structurally pinned in pytest
 def k13(spark, sf):
     """K13: Louvain modularity-maximizing communities over the part

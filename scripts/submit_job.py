@@ -28,7 +28,7 @@ def main() -> None:
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--k", type=int, default=3, help="k for --algo kcore")
     ap.add_argument("--source", type=int, action="append", default=None,
-                    help="source vertex for --algo sssp (repeatable)")
+                    help="source vertex for --algo sssp or personalized pagerank (repeatable)")
     args = ap.parse_args()
 
     # SparkSession comes from spark-submit; imports resolve from --py-files
@@ -58,7 +58,8 @@ def main() -> None:
     stats: dict = {}
     if args.algo == "pagerank":
         sym = edges.unionByName(edges.selectExpr("dst as src", "src as dst"))
-        res = pagerank(sym, max_iter=args.max_iter, store=store, stats_out=stats)
+        res = pagerank(sym, max_iter=args.max_iter, store=store,
+                       stats_out=stats, sources=args.source or None)
     elif args.algo == "cc":
         res = connected_components(edges, max_iter=args.max_iter, store=store,
                                    stats_out=stats)

@@ -60,6 +60,54 @@ def test_pagerank_sum_is_one_with_dangling(spark, graphs):
     assert abs(sum(r["rank"] for r in got) - 1.0) < 1e-9
 
 
+# ---------- K14: personalized PageRank ---------------------------------------
+
+@pytest.mark.parametrize(
+    "name,sources",
+    [
+        ("karate", [0]),
+        ("karate", [0, 33]),
+        ("directed_toy", [0]),     # dangling mass -> reset vector
+        ("directed_toy", [2, 5]),
+    ],
+)
+def test_personalized_pagerank_matches_networkx(spark, graphs, name, sources):
+    g = graphs[name]
+    df = edges_df(spark, g["edges"])
+    if not g["directed"]:
+        df = df.unionByName(df.selectExpr("dst as src", "src as dst"))
+    got = {
+        r["vid"]: r["rank"]
+        for r in pagerank(df, tol=1e-10, sources=sources).collect()
+    }
+    dir_edges = (
+        g["edges"]
+        if g["directed"]
+        else g["edges"] + [(v, u) for u, v in g["edges"]]
+    )
+    want = pagerank_numpy(
+        g["n"], np.array(dir_edges), tol=1e-14, sources=sources
+    )
+    np.testing.assert_allclose(
+        [got[v] for v in sorted(got)], [want[v] for v in sorted(got)], atol=1e-6
+    )
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_unreachable_gets_zero(spark, graphs):
+    # two disconnected cliques; sources in the first -> the second converges
+    # to rank 0 (teleport never lands there, no incoming mass)
+    g = graphs["two_cliques_split"]
+    df = edges_df(spark, g["edges"])
+    df = df.unionByName(df.selectExpr("dst as src", "src as dst"))
+    got = {
+        r["vid"]: r["rank"]
+        for r in pagerank(df, tol=1e-12, sources=[0, 1]).collect()
+    }
+    assert all(got[v] < 1e-9 for v in range(10, 20))
+    assert abs(sum(got[v] for v in range(10)) - 1.0) < 1e-9
+
+
 # ---------- Connected components ---------------------------------------------
 
 @pytest.mark.parametrize("name", ["path_100", "er_200", "two_cliques_split", "two_cliques"])
