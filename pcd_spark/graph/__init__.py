@@ -16,3 +16,8 @@ from pcd_spark.graph.quality import (  # noqa: F401
 from pcd_spark.graph.kcore import k_core  # noqa: F401
 from pcd_spark.graph.louvain import louvain  # noqa: F401
 from pcd_spark.graph.sssp import shortest_paths  # noqa: F401
+from pcd_spark.graph.hits import hits  # noqa: F401
+from pcd_spark.graph.linkpred import (  # noqa: F401
+    degree_assortativity,
+    link_prediction,
+)

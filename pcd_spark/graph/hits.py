@@ -1,0 +1,152 @@
+"""K15 — HITS hubs & authorities (round 2 ext.; Kleinberg 1999 JACM).
+
+Power iteration on the directed edge table: per superstep
+    auth_new[v] = Σ_{u→v} hub[u]        (gather over IN-edges)
+    hub_new[u]  = Σ_{u→v} auth_new[v]   (gather over OUT-edges, NEW auth —
+                                         Kleinberg's I/O order, same as
+                                         networkx.hits)
+converging to the principal eigenvectors of AᵀA (authorities) and AAᵀ
+(hubs). Output is L1-normalized (each sums to 1, networkx
+`normalized=True` semantics). Power iteration is scale-invariant, so any
+per-step normalization schedule yields the same normalized fixed point —
+verified against networkx.hits to allclose 1e-6 in tests/test_graph_algos.py.
+
+Physical shape per superstep (K7 one-job discipline preserved):
+  - TWO wide shuffles — inherent to HITS: the hub half-step consumes the
+    SAME step's new authority scores, so messages flow dst-ward then
+    src-ward within one plan (edges persisted once, partitioned on src;
+    both aggs pin reduce width with explicit repartition).
+  - normalization without an extra job: per-step L1 sums ride the
+    convergence Allreduce (run_supersteps extra_aggs) and enter the NEXT
+    superstep as literals — the state carries RAW (unnormalized) scores
+    whose magnitude stays O(λ) because each step divides by the previous
+    step's sum. Exact normalization happens once at the end.
+  - convergence delta therefore lags one step: step i measures
+    Σ|a_{i-1}/s_{i-1} - a_{i-2}/s_{i-2}| (both sums are known literals),
+    costing at most one extra superstep vs an in-step check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pcd_spark.graph.edges import vertices_of
+from pcd_spark.graph.partition import default_num_parts
+from pcd_spark.graph.superstep import run_supersteps
+from pcd_spark.storage import CheckpointStore
+
+
+def hits(
+    edges: DataFrame,
+    tol: float = 1e-10,
+    max_iter: int = 200,
+    num_parts: int | None = None,
+    store: CheckpointStore | None = None,
+    checkpoint_every: int = 10,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """HITS over a directed edge table (src, dst).
+
+    Returns DataFrame(vid: long, authority: double, hub: double), each
+    column L1-normalized to sum 1. Stopping rule: lagged L1 delta of the
+    normalized authority vector < tol.
+    """
+    p = num_parts or default_num_parts(edges)
+
+    verts = vertices_of(edges).persist()
+    n = verts.count()
+    if n == 0:
+        raise ValueError("hits: edge table is empty (no vertices)")
+
+    e = (
+        edges.select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+        .repartition(p, "src")
+        .persist()
+    )
+    if e.count() == 0:
+        raise ValueError("hits: edge table is empty")
+
+    # state: raw scores from the last step + the PREVIOUS normalized vectors
+    # (for the lagged delta); sums arrive via extras as literals
+    init = verts.select(
+        "vid",
+        F.lit(1.0 / n).alias("a_raw"),
+        F.lit(1.0 / n).alias("h_raw"),
+        F.lit(1.0 / n).alias("a_prev"),
+        F.lit(1.0).alias("_delta"),
+    )
+    extras: dict = {"sa": 1.0, "sh": 1.0}
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        sa = float(extras.get("sa") or 1.0)
+        sh = float(extras.get("sh") or 1.0)
+        cur = state.select(
+            "vid",
+            (F.col("a_raw") / F.lit(sa)).alias("a_n"),
+            (F.col("h_raw") / F.lit(sh)).alias("h_n"),
+            "a_prev",
+        )
+        # auth half-step: hub mass flows along edges to dst
+        a_new = (
+            e.hint("shuffle_hash")
+            .join(cur.select(F.col("vid").alias("src"), "h_n"), "src")
+            .select("dst", "h_n")
+            .repartition(p, "dst")
+            .groupBy("dst")
+            .agg(F.sum("h_n").alias("a_new"))
+            .withColumnRenamed("dst", "vid")
+        )
+        # hub half-step: the NEW authority flows back along edges to src
+        h_new = (
+            e.hint("shuffle_hash")
+            .join(a_new.withColumnRenamed("vid", "dst").hint("shuffle_hash"), "dst")
+            .select("src", "a_new")
+            .repartition(p, "src")
+            .groupBy("src")
+            .agg(F.sum("a_new").alias("h_new"))
+            .withColumnRenamed("src", "vid")
+        )
+        return (
+            cur.join(a_new.hint("shuffle_hash"), "vid", "left")
+            .join(h_new.hint("shuffle_hash"), "vid", "left")
+            .select(
+                "vid",
+                F.coalesce("a_new", F.lit(0.0)).alias("a_raw"),
+                F.coalesce("h_new", F.lit(0.0)).alias("h_raw"),
+                F.col("a_n").alias("a_prev"),
+                # the lagged delta compares steps i-1 and i-2; at i=1 both
+                # are the init vector (identically 0) — mask so the loop
+                # can't declare convergence before any real half-step lands
+                (
+                    F.lit(1.0)
+                    if i == 1
+                    else F.abs(F.col("a_n") - F.col("a_prev"))
+                ).alias("_delta"),
+            )
+        )
+
+    _secs: list[float] = []
+    final, iters, metrics = run_supersteps(
+        init, step, tol=tol, max_iter=max_iter,
+        store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
+        extra_aggs={"sa": F.sum("a_raw"), "sh": F.sum("h_raw")},
+        extras_out=extras,
+        disable_aqe=True,
+    )
+    if stats_out is not None:
+        stats_out["iterations"] = iters
+        stats_out["metrics"] = metrics
+        stats_out["step_secs"] = _secs
+
+    sa = float(extras.get("sa") or 1.0)
+    sh = float(extras.get("sh") or 1.0)
+    out = final.select(
+        "vid",
+        (F.col("a_raw") / F.lit(sa)).alias("authority"),
+        (F.col("h_raw") / F.lit(sh)).alias("hub"),
+    )
+    e.unpersist()
+    verts.unpersist()
+    return out

@@ -55,11 +55,12 @@ _PRIORITY = [
     "g2_intersect", "g3_except", "h3_string_basics", "h5_date_functions",
     "h6_math", "i2_tumbling_window_batch", "i3_sliding_window_batch",
     "m2_blob_features", "x8_fingerprint",
-    "v4_ivf_topk",
+    "v4_ivf_topk", "v5_kmeans_clusters",
     "x11_repetition_metrics", "x12_decontamination", "x13_pii_scrub",
     "k3_pagerank_top20", "k5_lpa_community_sizes", "k8_corpus_pipeline",
     "k10_kcore", "k11_clustering_coefficient", "k12_bfs_distances",
     "k13_louvain_communities", "k14_ppr_top20",
+    "k15_hits", "k16_link_prediction", "k17_assortativity",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

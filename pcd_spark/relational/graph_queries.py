@@ -342,3 +342,74 @@ def k13(spark, sf):
         .orderBy(F.desc("size"), F.asc("label"))
         .limit(50)
     )
+
+
+@g("k15_hits", None)  # iterative power method; exactness pinned vs numpy oracle
+def k15(spark, sf):
+    """K15: HITS hubs & authorities over the directed customer->supplier
+    graph — customers are pure hubs, suppliers pure authorities (bipartite),
+    so the ranking answers "which suppliers aggregate the most well-connected
+    customers". Exactness vs pcd_spark/oracle/hits_numpy.py in
+    tests/test_graph_algos.py."""
+    from pcd_spark.graph import hits
+
+    h = hits(cust_supp_edges(spark, sf), tol=1e-10, max_iter=100)
+    return (
+        h.select(
+            "vid",
+            F.round("authority", 8).alias("authority"),
+            F.round("hub", 8).alias("hub"),
+        )
+        .orderBy(F.desc("authority"), F.asc("vid"))
+        .limit(50)
+    )
+
+
+@g(
+    "k16_link_prediction",
+    f"""WITH edges AS (SELECT src, dst FROM ({_CS_EDGES_SQL}) WHERE src < 300),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
+        adj AS (SELECT s.src AS w, s.dst AS nbr, d.deg AS dw
+                FROM sym s JOIN deg d ON d.vid = s.src),
+        pairs AS (
+          SELECT a.nbr AS u, b.nbr AS v, COUNT(*) AS common_neighbors,
+                 SUM(1.0 / LN(a.dw)) AS aa
+          FROM adj a JOIN adj b ON a.w = b.w AND a.nbr < b.nbr
+          GROUP BY a.nbr, b.nbr),
+        cand AS (SELECT p.* FROM pairs p
+                 ANTI JOIN sym s ON s.src = p.u AND s.dst = p.v)
+        SELECT u, v, common_neighbors,
+               ROUND(1.0 * common_neighbors
+                     / (du.deg + dv.deg - common_neighbors), 8) AS jaccard,
+               ROUND(aa, 8) AS adamic_adar
+        FROM cand JOIN deg du ON du.vid = u JOIN deg dv ON dv.vid = v""",
+)
+def k16(spark, sf):
+    """K16: common-neighbor / Jaccard / Adamic-Adar link prediction on the
+    bounded customer-supplier graph (same src < 300 slice as k4 — the wedge
+    fan-out is quadratic in center degree, and the oracle must mirror the
+    exact candidate set)."""
+    from pcd_spark.graph import link_prediction
+
+    e = cust_supp_edges(spark, sf).filter(F.col("src") < 300)
+    return link_prediction(e)
+
+
+@g(
+    "k17_assortativity",
+    f"""WITH edges AS ({_CS_EDGES_SQL}),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src)
+        SELECT ROUND(CORR(1.0 * dx.deg, 1.0 * dy.deg), 8) AS r
+        FROM sym s JOIN deg dx ON dx.vid = s.src
+                   JOIN deg dy ON dy.vid = s.dst""",
+)
+def k17(spark, sf):
+    """K17: Newman degree assortativity of the customer-supplier graph.
+    Closed-form Pearson r over edge-endpoint degree pairs (each undirected
+    edge in both directions); CORR's sample-vs-population normalization
+    cancels in r, so the DuckDB aggregate is the exact oracle."""
+    from pcd_spark.graph import degree_assortativity
+
+    return degree_assortativity(cust_supp_edges(spark, sf), round_to=8)

@@ -660,6 +660,27 @@ def v4(spark, sf):
     )
 
 
+@qt("v5_kmeans_clusters", None)
+def v5(spark, sf):
+    # distributed Lloyd's k-means (pcd_spark.vector.kmeans): the LEARNED
+    # counterpart of v4's fixed coarse quantizer — embedding clustering for
+    # cluster-balanced sampling / domain discovery, and the trainer for a
+    # real IVF index. Iterative (one Spark job per iteration, O(k*dim)
+    # driver state), so no ANSI-SQL oracle: exactness is pinned against the
+    # numpy Lloyd's oracle in tests/test_kmeans.py; the driver records the
+    # rows-only check. Deterministic init = the k lowest-vec_id vectors.
+    from pcd_spark.vector import kmeans
+
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    asg = kmeans(e, k=8, vec_col="emb", id_col="vec_id", max_iter=5)
+    sizes = asg.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return asg.join(F.broadcast(sizes), "cluster").select(
+        "vec_id", "cluster", "n_members"
+    )
+
+
 _X11_SQL = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
            FROM documents WHERE LENGTH(text) > 0),

@@ -432,3 +432,121 @@ def test_cc_giant_component_label_skew(spark):
     rest = {v: c for v, c in comp.items() if v < leaf}
     assert set(rest.values()) == {0}
     assert len(rest) == n + 50 * 40
+
+
+# ---------- K15: HITS ---------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["directed_toy", "karate", "two_cliques"])
+def test_hits_matches_numpy_oracle(spark, graphs, name):
+    """Engine vs the pinned numpy power-iteration oracle (Kleinberg I/O
+    order, L1 normalization). The oracle mirrors networkx.hits semantics —
+    both converge to the principal eigenvectors of AtA / AAt."""
+    from pcd_spark.graph import hits
+    from pcd_spark.oracle import hits_numpy
+
+    g = graphs[name]
+    edge_list = (
+        g["edges"]
+        if g["directed"]
+        else g["edges"] + [(v, u) for u, v in g["edges"]]
+    )
+    want_a, want_h = hits_numpy(edge_list, tol=1e-14)
+    stats: dict = {}
+    got = {
+        r["vid"]: (r["authority"], r["hub"])
+        for r in hits(
+            edges_df(spark, edge_list), tol=1e-12, max_iter=300,
+            stats_out=stats,
+        ).collect()
+    }
+    assert set(got) == set(want_a)
+    np.testing.assert_allclose(
+        [got[v][0] for v in sorted(got)],
+        [want_a[v] for v in sorted(got)], atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        [got[v][1] for v in sorted(got)],
+        [want_h[v] for v in sorted(got)], atol=1e-6,
+    )
+    assert abs(sum(a for a, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(h for _, h in got.values()) - 1.0) < 1e-9
+    assert stats["iterations"] >= 2  # the lagged delta can't stop at step 1
+
+
+def test_hits_bipartite_roles(spark):
+    """On a directed bipartite graph sources are pure hubs (authority 0)
+    and sinks pure authorities (hub 0)."""
+    from pcd_spark.graph import hits
+
+    e = edges_df(spark, [(0, 10), (0, 11), (1, 10), (2, 11), (2, 12)])
+    got = {r["vid"]: (r["authority"], r["hub"]) for r in hits(e).collect()}
+    for src in (0, 1, 2):
+        assert got[src][0] == 0.0
+    for snk in (10, 11, 12):
+        assert got[snk][1] == 0.0
+    # vertex 10 draws from hubs 0 and 1; 12 only from 2 -> 10 outranks 12
+    assert got[10][0] > got[12][0]
+
+
+# ---------- K16: link prediction ---------------------------------------------
+
+@pytest.mark.parametrize("name", ["karate", "two_cliques", "er_200"])
+def test_link_prediction_matches_networkx(spark, graphs, name):
+    from pcd_spark.graph import link_prediction
+
+    g = graphs[name]
+    G = _nx_graph(g, False)
+    want: dict = {}
+    for u, v, j in nx.jaccard_coefficient(G):
+        want.setdefault((min(u, v), max(u, v)), {})["j"] = j
+    for u, v, a in nx.adamic_adar_index(G):
+        want[(min(u, v), max(u, v))]["a"] = a
+    want = {k: d for k, d in want.items() if d["j"] > 0}  # >=1 common nbr
+    got = {
+        (r["u"], r["v"]): r
+        for r in link_prediction(edges_df(spark, g["edges"])).collect()
+    }
+    assert set(got) == set(want)
+    for k, d in want.items():
+        assert abs(got[k]["jaccard"] - d["j"]) < 1e-7
+        assert abs(got[k]["adamic_adar"] - d["a"]) < 1e-7
+
+
+def test_link_prediction_center_degree_cap(spark):
+    """The hub-center cap drops exactly the candidates certified ONLY by
+    over-connected centers (star center connects everyone; capping it
+    leaves the triangle-certified pair)."""
+    from pcd_spark.graph import link_prediction
+
+    # star 0-(1..5) plus a path 1-6-2: pair (1,2) certified by 0 AND 6
+    edges = [(0, i) for i in range(1, 6)] + [(1, 6), (6, 2)]
+    df = edges_df(spark, edges)
+    full = {(r["u"], r["v"]): r["common_neighbors"]
+            for r in link_prediction(df).collect()}
+    capped = {(r["u"], r["v"]): r["common_neighbors"]
+              for r in link_prediction(df, max_center_degree=2).collect()}
+    assert full[(1, 2)] == 2
+    # star-center-0-only candidates vanish; (1,2) keeps center 6 (deg 2),
+    # (0,6) keeps centers 1 and 2 (deg 2 each, adjacent to both 0 and 6)
+    assert capped == {(1, 2): 1, (0, 6): 2}
+
+
+# ---------- K17: degree assortativity -----------------------------------------
+
+@pytest.mark.parametrize("name", ["karate", "star_1001", "er_200", "ba_1000"])
+def test_assortativity_matches_networkx(spark, graphs, name):
+    from pcd_spark.graph import degree_assortativity
+
+    g = graphs[name]
+    r_got = degree_assortativity(edges_df(spark, g["edges"])).first()["r"]
+    r_want = nx.degree_assortativity_coefficient(_nx_graph(g, False))
+    assert abs(r_got - r_want) < 1e-9
+
+
+def test_assortativity_degenerate_graph_is_zero(spark):
+    """All-equal degrees (a cycle) have zero degree variance; the engine
+    pins r = 0.0 where the textbook formula is 0/0."""
+    from pcd_spark.graph import degree_assortativity
+
+    e = edges_df(spark, [(i, (i + 1) % 6) for i in range(6)])
+    assert degree_assortativity(e).first()["r"] == 0.0
