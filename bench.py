@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "x10_neardup_clusters",
     "i4_session_window_batch",
     "k6_triangles",
+    "k15_hits",
+    "k16_link_prediction",
+    "v5_kmeans_clusters",
 ]
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pcd_spark.graph.edges import symmetrize, vertices_of
-from pcd_spark.graph.partition import default_num_parts
+from pcd_spark.graph.partition import adaptive_num_parts
 from pcd_spark.graph.superstep import run_supersteps
 from pcd_spark.storage import CheckpointStore
 
@@ -32,7 +32,10 @@ def connected_components(
     stats_out: dict | None = None,
 ) -> DataFrame:
     """Returns DataFrame(vid: long, component: long) — exact min-vid ids."""
-    p = num_parts or default_num_parts(edges)
+    # persist the (possibly derived) input once: referenced by the adaptive
+    # sizing count and the symmetrize below
+    edges = edges.persist()
+    p = num_parts or adaptive_num_parts(edges)
 
     sym = symmetrize(edges).repartition(p, "src").persist()
     sym.count()
@@ -80,4 +83,5 @@ def connected_components(
     out = final.select("vid", F.col("label").alias("component"))
     sym.unpersist()
     verts.unpersist()
+    edges.unpersist()
     return out

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pcd_spark.graph.edges import vertices_of
-from pcd_spark.graph.partition import default_num_parts
+from pcd_spark.graph.partition import adaptive_num_parts
 from pcd_spark.graph.superstep import run_supersteps
 from pcd_spark.storage import CheckpointStore
 
@@ -52,7 +52,10 @@ def hits(
     column L1-normalized to sum 1. Stopping rule: lagged L1 delta of the
     normalized authority vector < tol.
     """
-    p = num_parts or default_num_parts(edges)
+    # persist the (possibly derived) input once: referenced by the
+    # adaptive sizing count and the graph-normal-form build below
+    edges = edges.persist()
+    p = num_parts or adaptive_num_parts(edges)
 
     verts = vertices_of(edges).persist()
     n = verts.count()
@@ -149,4 +152,5 @@ def hits(
     )
     e.unpersist()
     verts.unpersist()
+    edges.unpersist()
     return out

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pcd_spark.graph.edges import symmetrize
-from pcd_spark.graph.partition import default_num_parts
+from pcd_spark.graph.partition import adaptive_num_parts
 from pcd_spark.graph.superstep import run_supersteps
 from pcd_spark.storage import CheckpointStore
 
@@ -42,7 +42,10 @@ def k_core(
     (vid: long, core_deg: long). Empty result when no k-core exists."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    p = num_parts or default_num_parts(edges)
+    # persist the (possibly derived) input once: referenced by the
+    # adaptive sizing count and the graph-normal-form build below
+    edges = edges.persist()
+    p = num_parts or adaptive_num_parts(edges)
 
     sym = symmetrize(edges).repartition(p, "src").persist()
     sym.count()
@@ -86,6 +89,7 @@ def k_core(
     if stats_out is not None:
         stats_out["iterations"] = iters
         stats_out["metrics"] = metrics
+    edges.unpersist()
     return final.filter(F.col("deg") >= k).select(
         "vid", F.col("deg").alias("core_deg")
     )

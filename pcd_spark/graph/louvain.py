@@ -54,7 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pcd_spark.graph.partition import default_num_parts
+from pcd_spark.graph.partition import adaptive_num_parts
 
 _EPS = 1e-12
 
@@ -294,7 +294,10 @@ def louvain(
     community is labeled by its smallest member vid (CC-style ids, stable
     across level bookkeeping). stats_out collects per-level modularity.
     """
-    p = num_parts or default_num_parts(edges)
+    # persist the (possibly derived) input once: referenced by the
+    # adaptive sizing count and the graph-normal-form build below
+    edges = edges.persist()
+    p = num_parts or adaptive_num_parts(edges)
     adj = _sym_adj(edges, weight_col).repartition(p, "src").persist()
     total = float(adj.agg(F.sum("w")).first()[0] or 0.0)  # = 2m
     if total <= 0:
@@ -357,6 +360,7 @@ def louvain(
         adj = new_adj
 
     adj.unpersist()
+    edges.unpersist()
     if stats_out is not None:
         stats_out["levels"] = levels
         stats_out["q"] = levels[-1]["q"] if levels else 0.0

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pcd_spark.graph.edges import symmetrize, vertices_of
-from pcd_spark.graph.partition import default_num_parts
+from pcd_spark.graph.partition import adaptive_num_parts
 from pcd_spark.graph.superstep import run_supersteps
 from pcd_spark.storage import CheckpointStore
 
@@ -95,7 +95,10 @@ def label_propagation(
     stats_out: dict | None = None,
 ) -> DataFrame:
     """Returns DataFrame(vid: long, label: long) under the pinned rule."""
-    p = num_parts or default_num_parts(edges)
+    # persist the (possibly derived) input once: referenced by the adaptive
+    # sizing count and the symmetrize below
+    edges = edges.persist()
+    p = num_parts or adaptive_num_parts(edges)
 
     sym = symmetrize(edges)
     if salt_buckets > 0:
@@ -178,4 +181,5 @@ def label_propagation(
     out = final.select("vid", "label")
     sym.unpersist()
     verts.unpersist()
+    edges.unpersist()
     return out

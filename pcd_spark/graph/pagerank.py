@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pcd_spark.graph.edges import vertices_of
-from pcd_spark.graph.partition import default_num_parts
+from pcd_spark.graph.partition import adaptive_num_parts
 from pcd_spark.graph.superstep import run_supersteps
 from pcd_spark.storage import CheckpointStore
 
@@ -61,7 +61,12 @@ def pagerank(
     literals become column references. Vertices unreachable from the
     sources converge to rank 0.
     """
-    p = num_parts or default_num_parts(edges)
+    # persist the input FIRST: callers routinely pass a derived edge table
+    # (a multi-join at the query layer), and this function references it four
+    # times (adaptive sizing count, vertex universe, out-weight agg, dangler
+    # anti-join) — one cached materialization instead of four derivations
+    edges = edges.persist()
+    p = num_parts or adaptive_num_parts(edges)
 
     verts = vertices_of(edges).persist()
     n = verts.count()
@@ -202,4 +207,5 @@ def pagerank(
     out = final.select("vid", "rank")
     trans.unpersist()
     verts.unpersist()
+    edges.unpersist()
     return out

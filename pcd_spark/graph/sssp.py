@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pcd_spark.graph.partition import default_num_parts
+from pcd_spark.graph.partition import adaptive_num_parts
 from pcd_spark.graph.superstep import run_supersteps
 from pcd_spark.storage import CheckpointStore
 
@@ -48,7 +48,10 @@ def shortest_paths(
     """
     if not sources:
         raise ValueError("at least one source vertex required")
-    p = num_parts or default_num_parts(edges)
+    # persist the (possibly derived) input once: referenced by the
+    # adaptive sizing count and the graph-normal-form build below
+    edges = edges.persist()
+    p = num_parts or adaptive_num_parts(edges)
 
     w = (
         F.col(weight_col).cast("double")
@@ -119,4 +122,5 @@ def shortest_paths(
         stats_out["iterations"] = iters
         stats_out["metrics"] = metrics
     e.unpersist()
+    edges.unpersist()
     return final.filter(F.col("dist").isNotNull()).select("vid", "dist")

@@ -23,6 +23,15 @@ from pcd_spark.graph.edges import canonical_undirected, vertices_of
 # fall back to shuffle joins: at 10^12 vertices a broadcast would be absurd.
 _BCAST_DEG_MAX_V = 2_000_000
 
+# oriented edge tables up to this many rows are broadcast into the closing
+# join. The wedge side is O(Σ out-deg²) — 82M rows on the sf0.1 co-occurrence
+# graph vs 1.2M closing edges — and the default SortMergeJoin SORTS the wedge
+# side (measured: 27 s of the 25-30 s k6 total). Broadcasting the closing
+# side keeps wedges pipelined in their generating stage: zero exchange, zero
+# sort of the big side. Above the cap, a shuffle_hash hint still avoids the
+# wedge sort (hash table builds on the small closing partitions).
+_BCAST_CLOSING_MAX_E = 5_000_000
+
 
 def _oriented(canon: DataFrame, broadcast_degrees: bool | None = None) -> DataFrame:
     """Orient canonical undirected edges low→high by (degree, vid).
@@ -72,7 +81,7 @@ def triangle_counts(
     canon = canonical_undirected(e).persist()
     canon.count()
     o = _oriented(canon, broadcast_degrees).persist()
-    o.count()
+    n_o = o.count()
 
     # Ordered wedges (a→b, a→c), b≠c; the closing edge b→c exists in exactly
     # one orientation, so joining on (b, c) counts each triangle once — at
@@ -81,6 +90,13 @@ def triangle_counts(
     b = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
     wedges = a.join(b, "a").filter(F.col("b") != F.col("c"))
     closing = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    # never sort the O(deg²) wedge side: broadcast the closing edges when
+    # they fit, else hash-join them (see _BCAST_CLOSING_MAX_E)
+    closing = (
+        F.broadcast(closing)
+        if n_o <= _BCAST_CLOSING_MAX_E
+        else closing.hint("shuffle_hash")
+    )
     tris = wedges.join(closing, ["b", "c"])  # rows (a, b, c) = one triangle
 
     per_vertex = (

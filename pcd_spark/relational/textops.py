@@ -890,6 +890,8 @@ def x10(spark, sf):
             .select("src", F.col("doc_id").alias("dst"))
         )
     edges = star[0].unionByName(star[1])
+    # the star graph is O(n_docs) edges — far below session width; CC's
+    # adaptive_num_parts default right-sizes the superstep shuffles to it
     cc = connected_components(edges)
     return sig.join(
         cc, sig["doc_id"] == cc["vid"], "left"
