@@ -353,7 +353,7 @@ def k15(spark, sf):
     tests/test_graph_algos.py."""
     from pcd_spark.graph import hits
 
-    h = hits(cust_supp_edges(spark, sf), tol=1e-10, max_iter=100)
+    h = hits(cust_supp_edges(spark, sf), tol=1e-8, max_iter=60)
     return (
         h.select(
             "vid",
