@@ -21,3 +21,5 @@ from pcd_spark.graph.linkpred import (  # noqa: F401
     degree_assortativity,
     link_prediction,
 )
+from pcd_spark.graph.walks import random_walks  # noqa: F401
+from pcd_spark.graph.features import neighbor_feature_agg  # noqa: F401

@@ -413,3 +413,75 @@ def k17(spark, sf):
     from pcd_spark.graph import degree_assortativity
 
     return degree_assortativity(cust_supp_edges(spark, sf), round_to=8)
+
+
+@g("k18_random_walks", None)  # hash-random rule; DuckDB has no xxhash64
+def k18(spark, sf):
+    """K18: deterministic DeepWalk corpus over the bounded customer-supplier
+    graph (same src < 300 slice as k4). No SQL oracle — the next-hop rule is
+    argmin xxhash64(...), which DuckDB cannot evaluate; exactness is pinned
+    in tests/test_graph_algos.py against a simulation driven by hash values
+    extracted from Spark itself, plus structure/determinism properties."""
+    from pcd_spark.graph import random_walks
+
+    e = cust_supp_edges(spark, sf).filter(F.col("src") < 300)
+    return random_walks(e, walk_length=4, walks_per_vertex=1, seed=7)
+
+
+_EMB_STAR_SQL = """
+  emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  b AS (SELECT vec_id, emb,
+               (CASE WHEN emb[1] >= 0 THEN 8 ELSE 0 END
+              + CASE WHEN emb[2] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN emb[3] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN emb[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+        FROM emb),
+  bmin AS (SELECT bucket, MIN(vec_id) AS src FROM b GROUP BY bucket),
+  star AS (SELECT m.src, b.vec_id AS dst FROM b JOIN bmin m USING (bucket)
+           WHERE m.src <> b.vec_id)
+"""
+
+
+@g(
+    "k19_neighbor_features",
+    f"""WITH {_EMB_STAR_SQL},
+        sym AS (SELECT src, dst FROM star UNION SELECT dst, src FROM star),
+        x AS (SELECT s.dst AS vid, u.pos, u.val
+              FROM sym s JOIN emb e ON e.vec_id = s.src,
+                   UNNEST(list_transform(generate_series(1, len(e.emb)),
+                          i -> struct_pack(pos := i - 1, val := e.emb[i])))
+                   AS t(u)),
+        per_dim AS (SELECT vid, pos, ROUND(AVG(val), 8) AS v,
+                           COUNT(*) AS c
+                    FROM x GROUP BY vid, pos)
+        SELECT vid, MAX(c) AS n_neighbors,
+               LIST(v ORDER BY pos) AS agg_emb
+        FROM per_dim GROUP BY vid""",
+)
+def k19(spark, sf):
+    """K19: one GraphSAGE-style layer — per-vertex mean of neighbor
+    embeddings over the sign-LSH star graph (v2's bucketing turned into
+    bucket-min star edges, the x10 pattern). The full pipeline a training
+    job runs: build a similarity graph from embeddings, then aggregate
+    neighbor features along it."""
+    from pcd_spark.graph.features import neighbor_feature_agg
+
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    bucket = (
+        F.when(F.col("emb")[0] >= 0, 8).otherwise(0)
+        + F.when(F.col("emb")[1] >= 0, 4).otherwise(0)
+        + F.when(F.col("emb")[2] >= 0, 2).otherwise(0)
+        + F.when(F.col("emb")[3] >= 0, 1).otherwise(0)
+    )
+    b = e.select("vec_id", "emb", bucket.alias("bucket"))
+    bmin = b.groupBy("bucket").agg(F.min("vec_id").alias("src"))
+    star = (
+        b.join(bmin, "bucket")
+        .filter(F.col("src") != F.col("vec_id"))
+        .select("src", F.col("vec_id").alias("dst"))
+    )
+    return neighbor_feature_agg(
+        star, e, id_col="vec_id", vec_col="emb", agg="mean", round_to=8
+    )

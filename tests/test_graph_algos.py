@@ -550,3 +550,137 @@ def test_assortativity_degenerate_graph_is_zero(spark):
 
     e = edges_df(spark, [(i, (i + 1) % 6) for i in range(6)])
     assert degree_assortativity(e).first()["r"] == 0.0
+
+
+# ---------- K18: deterministic random walks -----------------------------------
+
+def _walk_paths(rows):
+    paths: dict = {}
+    for r in rows:
+        paths.setdefault((r["start_vid"], r["walk"]), {})[r["step"]] = r["vid"]
+    return {
+        k: [p[i] for i in sorted(p)] for k, p in paths.items()
+    }
+
+
+def test_random_walks_structure_and_determinism(spark):
+    from pcd_spark.graph import random_walks
+
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    e = edges_df(spark, edges)
+    rows = random_walks(e, walk_length=5, walks_per_vertex=2, seed=3).collect()
+    sym = set(edges) | {(b, a) for a, b in edges}
+    paths = _walk_paths(rows)
+    assert len(paths) == 6 * 2  # every vertex starts 2 walks
+    for (s, _w), seq in paths.items():
+        assert seq[0] == s
+        assert len(seq) == 6  # undirected connected graph: never dead-ends
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in sym
+    # partition-count invariance (no-rand() discipline)
+    rows2 = random_walks(
+        e.repartition(5), walk_length=5, walks_per_vertex=2, seed=3
+    ).collect()
+    assert sorted(map(tuple, rows2)) == sorted(map(tuple, rows))
+    # a different seed must actually change some walk (non-degenerate rule)
+    rows3 = random_walks(e, walk_length=5, walks_per_vertex=2, seed=4).collect()
+    assert sorted(map(tuple, rows3)) != sorted(map(tuple, rows))
+
+
+def test_random_walks_match_hash_simulation(spark):
+    """Exact oracle: simulate the pinned rule in Python, driving it with
+    xxhash64 values extracted FROM SPARK (the rule is argmin
+    (xxhash64(start, walk, step, cand, seed), cand) over neighbors)."""
+    from pcd_spark.graph import random_walks
+
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    sym = set(edges) | {(b, a) for a, b in edges}
+    adj: dict = {}
+    for a, b in sym:
+        adj.setdefault(a, []).append(b)
+    L, seed = 5, 3
+    paths = _walk_paths(
+        random_walks(
+            edges_df(spark, edges), walk_length=L, walks_per_vertex=1,
+            seed=seed,
+        ).collect()
+    )
+    from pyspark.sql import functions as F
+
+    lookups = [
+        (s, 0, step, d)
+        for s in adj
+        for step in range(1, L + 1)
+        for nbrs in adj.values()
+        for d in nbrs
+    ]
+    ldf = spark.createDataFrame(
+        lookups, "start_vid long, walk int, step int, dst long"
+    ).select(
+        "*",
+        F.xxhash64("start_vid", "walk", "step", "dst", F.lit(seed)).alias("h"),
+    )
+    H = {
+        (r["start_vid"], r["walk"], r["step"], r["dst"]): r["h"]
+        for r in ldf.collect()
+    }
+    for s in adj:
+        cur, seq = s, [s]
+        for step in range(1, L + 1):
+            cur = min(adj[cur], key=lambda d: (H[(s, 0, step, d)], d))
+            seq.append(cur)
+        assert paths[(s, 0)] == seq
+
+
+def test_random_walks_directed_dead_end(spark):
+    from pcd_spark.graph import random_walks
+
+    e = edges_df(spark, [(0, 1), (1, 2)])
+    paths = _walk_paths(random_walks(e, walk_length=4, directed=True).collect())
+    assert paths[(0, 0)] == [0, 1, 2]  # stops at the sink
+    assert paths[(2, 0)] == [2]  # sink start -> length-0 walk
+
+
+# ---------- K19: neighbor feature aggregation ---------------------------------
+
+def test_neighbor_feature_agg_matches_numpy(spark):
+    from pcd_spark.graph.features import neighbor_feature_agg
+
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    vecs = {0: [1.0, 2.0], 1: [3.0, -1.0], 2: [0.5, 0.5], 3: [10.0, 0.0]}
+    e = edges_df(spark, edges)
+    f = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vid long, emb array<double>"
+    )
+    sym = set(edges) | {(b, a) for a, b in edges}
+    adj: dict = {}
+    for a, b in sym:
+        adj.setdefault(a, []).append(b)
+    for agg, red in [("mean", lambda xs: sum(xs) / len(xs)),
+                     ("sum", sum), ("max", max), ("min", min)]:
+        got = {
+            r["vid"]: (r["n_neighbors"], list(r["agg_emb"]))
+            for r in neighbor_feature_agg(e, f, agg=agg).collect()
+        }
+        for v, nbrs in adj.items():
+            want = [red([vecs[u][d] for u in nbrs]) for d in range(2)]
+            assert got[v][0] == len(nbrs)
+            assert all(abs(a - b) < 1e-12 for a, b in zip(got[v][1], want)), (
+                agg, v, got[v], want)
+
+
+def test_neighbor_feature_agg_directed_and_missing_features(spark):
+    from pcd_spark.graph.features import neighbor_feature_agg
+
+    # directed: messages flow src -> dst only; vertex 9 has no feature row
+    # and contributes nothing; vertex 1's only in-neighbor is featureless 9,
+    # so 1 is absent from the output
+    e = edges_df(spark, [(0, 2), (9, 2), (9, 1)])
+    f = spark.createDataFrame(
+        [(0, [2.0]), (2, [5.0])], "vid long, emb array<double>"
+    )
+    got = {
+        r["vid"]: (r["n_neighbors"], list(r["agg_emb"]))
+        for r in neighbor_feature_agg(e, f, agg="mean", directed=True).collect()
+    }
+    assert got == {2: (1, [2.0])}
