@@ -61,7 +61,7 @@ _PRIORITY = [
     "k10_kcore", "k11_clustering_coefficient", "k12_bfs_distances",
     "k13_louvain_communities", "k14_ppr_top20",
     "k15_hits", "k16_link_prediction", "k17_assortativity",
-    "k18_random_walks", "k19_neighbor_features",
+    "k18_random_walks", "k19_neighbor_features", "k20_scc",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -485,3 +485,57 @@ def k19(spark, sf):
     return neighbor_feature_agg(
         star, e, id_col="vec_id", vec_col="emb", agg="mean", round_to=8
     )
+
+
+_DIRECTED_FLOW_SQL = f"""
+  SELECT DISTINCT o_custkey AS src, {SUPPLIER_OFFSET} + l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey < 150
+  UNION
+  SELECT DISTINCT {SUPPLIER_OFFSET} + l_suppkey AS src, o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey < 150 AND l_returnflag = 'R'
+"""
+
+
+def directed_flow_edges(spark, sf):
+    """Bounded directed graph WITH cycles: customer -> supplier for every
+    order line; supplier -> customer where the line was returned ('R') —
+    so a customer and a supplier linked by both an order and a return form
+    a 2-cycle, and chains of them form larger SCCs."""
+    li, o = load(spark, sf, "lineitem"), load(spark, sf, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(F.col("o_custkey") < 150)
+    fwd = j.select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).alias("dst"),
+    )
+    back = j.filter(F.col("l_returnflag") == "R").select(
+        (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).alias("src"),
+        F.col("o_custkey").alias("dst"),
+    )
+    return fwd.unionByName(back).distinct()
+
+
+@g(
+    "k20_scc",
+    f"""WITH RECURSIVE
+        edges AS ({_DIRECTED_FLOW_SQL}),
+        verts AS (SELECT src AS vid FROM edges
+                  UNION SELECT dst FROM edges),
+        reach(v, u) AS (
+          SELECT vid, vid FROM verts
+          UNION
+          SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u)
+        SELECT r1.v AS vid, MIN(r1.u) AS component
+        FROM reach r1 JOIN reach r2 ON r1.v = r2.u AND r1.u = r2.v
+        GROUP BY r1.v""",
+)
+def k20(spark, sf):
+    """K20: strongly connected components of the directed order/return flow
+    graph — SCC = a set of customers+suppliers locked in a cycle of orders
+    and returns (on a code-dependency graph: the cyclic import groups).
+    Oracle: recursive-CTE transitive closure; component = MIN u with
+    reach(v,u) AND reach(u,v) — exactly mutual reachability."""
+    from pcd_spark.graph import strongly_connected_components
+
+    return strongly_connected_components(directed_flow_edges(spark, sf))

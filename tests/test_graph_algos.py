@@ -684,3 +684,83 @@ def test_neighbor_feature_agg_directed_and_missing_features(spark):
         for r in neighbor_feature_agg(e, f, agg="mean", directed=True).collect()
     }
     assert got == {2: (1, [2.0])}
+
+
+# ---------- K20: strongly connected components ---------------------------------
+
+@pytest.mark.parametrize(
+    "name,edge_list",
+    [
+        ("cycle2_tail", [(0, 1), (1, 0), (1, 2)]),
+        ("two_cycles_bridged",
+         [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)]),
+        ("dag_all_singletons", [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]),
+        ("selfloop_vertex", [(5, 5), (0, 1), (1, 0)]),
+    ],
+)
+def test_scc_matches_networkx(spark, name, edge_list):
+    from pcd_spark.graph import strongly_connected_components
+
+    G = nx.DiGraph(edge_list)
+    want = {}
+    for comp in nx.strongly_connected_components(G):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    got = {
+        r["vid"]: r["component"]
+        for r in strongly_connected_components(edges_df(spark, edge_list)).collect()
+    }
+    assert got == want
+
+
+def test_scc_directed_toy_and_phases(spark, graphs):
+    from pcd_spark.graph import strongly_connected_components
+
+    g = graphs["directed_toy"]
+    G = nx.DiGraph(g["edges"])
+    want = {}
+    for comp in nx.strongly_connected_components(G):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    stats: dict = {}
+    got = {
+        r["vid"]: r["component"]
+        for r in strongly_connected_components(
+            edges_df(spark, g["edges"]), stats_out=stats
+        ).collect()
+    }
+    assert got == want
+    assert stats["phases"] >= 1
+
+
+def test_scc_pseudo_random_multiphase(spark):
+    """A graph whose condensation forces >1 coloring phase — the residue
+    loop (remove completed SCCs, recolor) must terminate with exact ids."""
+    import hashlib
+
+    from pcd_spark.graph import strongly_connected_components
+
+    edges = []
+    for u in range(80):
+        for k in range(2):
+            v = int(hashlib.md5(f"{u}.{k}".encode()).hexdigest(), 16) % 80
+            if v != u:
+                edges.append((u, v))
+    edges = sorted(set(edges))
+    G = nx.DiGraph(edges)
+    want = {}
+    for comp in nx.strongly_connected_components(G):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    stats: dict = {}
+    got = {
+        r["vid"]: r["component"]
+        for r in strongly_connected_components(
+            edges_df(spark, edges), stats_out=stats
+        ).collect()
+    }
+    assert got == want
+    assert stats["phases"] == 2  # pinned: this fixture needs the residue pass
