@@ -81,6 +81,7 @@ def run_supersteps(
     extras_out: dict | None = None,
     resume_fix: Callable[[DataFrame], DataFrame] | None = None,
     disable_aqe: bool = False,
+    extras_log: list | None = None,
 ) -> tuple[DataFrame, int, list[tuple[int, float]]]:
     """Run step_fn until sum(_delta) < tol or max_iter. Returns
     (final_state_with_delta, iterations_run, [(iteration, delta), ...]).
@@ -91,7 +92,13 @@ def run_supersteps(
     extras_out before the next step_fn call. This is how per-superstep global
     scalars (e.g. PageRank dangling mass) ride the existing Allreduce instead
     of costing their own job + broadcast per superstep (measured ~0.3-0.5s of
-    fixed per-superstep cost — the scaling killer at high parallelism)."""
+    fixed per-superstep cost — the scaling killer at high parallelism).
+
+    extras_log: if given, appends (iteration, {name: value}) for EVERY
+    evaluation of extra_aggs — the seed over the initial/resumed state and
+    one entry per superstep. This is how per-distance series (HyperBall's
+    neighborhood function N(t)) ride the fused Allreduce instead of costing
+    an extra agg job per superstep; extras_out only keeps the latest."""
     import time as _time
 
     from pyspark.sql import Observation
@@ -123,6 +130,8 @@ def run_supersteps(
         if extra_aggs and extras_out is not None:
             for k in extra_aggs:
                 extras_out[k] = row[k]
+        if extra_aggs and extras_log is not None:
+            extras_log.append((start_iter, {k: row[k] for k in extra_aggs}))
         return float(row["_d"])
 
     if extra_aggs:
@@ -159,6 +168,8 @@ def run_supersteps(
             if extra_aggs and extras_out is not None:
                 for k in extra_aggs:
                     extras_out[k] = row[k]
+            if extra_aggs and extras_log is not None:
+                extras_log.append((it, {k: row[k] for k in extra_aggs}))
             metrics.append((it, delta))
             if step_secs is not None:
                 step_secs.append(round(_time.time() - _t0, 3))

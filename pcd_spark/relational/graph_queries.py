@@ -539,3 +539,20 @@ def k20(spark, sf):
     from pcd_spark.graph import strongly_connected_components
 
     return strongly_connected_components(directed_flow_edges(spark, sf))
+
+
+@g("k21_hyperball", None)  # HLL estimates are engine-specific; pytest pins
+def k21(spark, sf):
+    """K21: HyperBall approximate ball sizes |B(v, diameter)| on the bounded
+    customer-supplier graph (same subgraph as K12's BFS). The per-vertex
+    estimate at convergence approximates the vertex's connected-component
+    size; rounding keeps the rows-only driver check deterministic (fixed
+    xxhash64 salt -> bit-identical registers every run). Exactness (NF
+    relative error vs exact BFS, convergence at diameter+1) is pinned in
+    tests/test_graph_algos.py."""
+    from pcd_spark.graph import hyperball
+
+    e = cust_supp_edges(spark, sf).filter(F.col("src") < 500)
+    return hyperball(e, m=64).select(
+        "vid", F.round("ball_est", 4).alias("ball_est")
+    )

@@ -902,3 +902,87 @@ def x10(spark, sf):
             "is_canonical"
         ),
     )
+
+
+@qt(
+    "x14_dedup_keep_best",
+    f"""WITH RECURSIVE
+        sig AS (
+          SELECT doc_id,
+                 md5({_minhash_sql("s1")} || {_minhash_sql("s2")}) AS band_a,
+                 md5({_minhash_sql("s3")} || {_minhash_sql("s4")}) AS band_b
+          FROM documents WHERE LENGTH(text) >= 5),
+        e1 AS (SELECT MIN(doc_id) OVER (PARTITION BY band_a) AS src,
+                      doc_id AS dst FROM sig),
+        e2 AS (SELECT MIN(doc_id) OVER (PARTITION BY band_b) AS src,
+                      doc_id AS dst FROM sig),
+        edges AS (SELECT src, dst FROM e1 WHERE src <> dst
+                  UNION SELECT src, dst FROM e2 WHERE src <> dst),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        reach(v, u) AS (
+          SELECT doc_id, doc_id FROM sig
+          UNION
+          SELECT r.v, e.dst FROM reach r JOIN sym e ON e.src = r.u),
+        clus AS (SELECT v AS doc_id, MIN(u) AS cluster FROM reach GROUP BY v),
+        alldocs AS (
+          SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster, d.n_chars
+          FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id)
+        SELECT cluster, keep_doc_id, n_members, chars_removed FROM (
+          SELECT cluster, doc_id AS keep_doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY cluster
+                                    ORDER BY n_chars DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+                 SUM(n_chars) OVER (PARTITION BY cluster)
+                   - MAX(n_chars) OVER (PARTITION BY cluster) AS chars_removed
+          FROM alldocs) WHERE rn = 1""",
+)
+def x14(spark, sf):
+    # Dedup KEEP-BEST policy — the step after x10's clustering that a
+    # training-data pipeline actually ships: per near-dup cluster, keep ONE
+    # representative chosen by a quality key (here longest text, doc_id
+    # tie-break — swap in x6's quality score for a learned policy) and
+    # account for what was dropped. Plan shape: the x10 cluster assignment
+    # (LSH star edges -> K4 connected components, O(n·bands) edges) followed
+    # by ONE hash-agg keyed on cluster using the deterministic-argmax
+    # min(struct) idiom (D6) — no sort-window over the corpus, so the
+    # reduction stays map-side-combinable at 10^12 docs. chars_removed uses
+    # MAX(n_chars): the kept doc IS the longest by the quality key, so the
+    # subtraction never needs a second pass or a self-join.
+    from pcd_spark.graph.cc import connected_components
+
+    d = load(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    sig = (
+        d.filter(F.length("text") >= 5)
+        .select(
+            "doc_id",
+            F.md5(F.concat(_minhash_col("s1"), _minhash_col("s2"))).alias(
+                "band_a"
+            ),
+            F.md5(F.concat(_minhash_col("s3"), _minhash_col("s4"))).alias(
+                "band_b"
+            ),
+        )
+        .persist()
+    )
+    star = []
+    for band in ("band_a", "band_b"):
+        bmin = sig.groupBy(band).agg(F.min("doc_id").alias("src"))
+        star.append(
+            sig.join(bmin, band)
+            .filter(F.col("src") != F.col("doc_id"))
+            .select("src", F.col("doc_id").alias("dst"))
+        )
+    cc = connected_components(star[0].unionByName(star[1]))
+    clustered = d.join(
+        cc.withColumnRenamed("vid", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster"),
+        "n_chars",
+    )
+    best = F.min(F.struct((-F.col("n_chars")).alias("nk"), F.col("doc_id")))
+    return clustered.groupBy("cluster").agg(
+        best.getField("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_members"),
+        (F.sum("n_chars") - F.max("n_chars")).alias("chars_removed"),
+    )

@@ -764,3 +764,74 @@ def test_scc_pseudo_random_multiphase(spark):
     }
     assert got == want
     assert stats["phases"] == 2  # pinned: this fixture needs the residue pass
+
+
+# ---- K21 HyperBall ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["er_200", "two_cliques", "cycle_9"])
+def test_hyperball_nf_tracks_exact_bfs(spark, graphs, name):
+    """N(t) estimates must track the exact BFS neighborhood function within
+    HLL error (m=64 -> per-vertex RSE ~13%; the SUM over vertices is pinned
+    empirically at 10% on these deterministic fixtures), and converge in
+    exactly diameter+1 supersteps (registers are monotone; the first
+    superstep after every ball is complete is the no-change fixpoint)."""
+    from pcd_spark.graph import hyperball
+
+    g = graphs[name]
+    G = nx.Graph(g["edges"])
+    stats: dict = {}
+    hyperball(edges_df(spark, g["edges"]), m=64, stats_out=stats).count()
+
+    sp = dict(nx.all_pairs_shortest_path_length(G))
+    nodes = list(G.nodes())
+    for t, est in stats["nf"]:
+        exact = sum(
+            1 for u in nodes for v in nodes if sp[u].get(v, 1 << 30) <= t
+        )
+        assert abs(est / exact - 1) < 0.10, (name, t, est, exact)
+    assert stats["iterations"] == nx.diameter(G) + 1
+
+
+def test_hyperball_ball_estimates_component_size(spark, graphs):
+    """At convergence every vertex's ball is its whole component: on the
+    split two-clique graph each estimate must sit within HLL tolerance of
+    10, and the two components must not bleed into each other."""
+    from pcd_spark.graph import hyperball
+
+    g = graphs["two_cliques_split"]
+    stats: dict = {}
+    rows = hyperball(
+        edges_df(spark, g["edges"]), m=64, stats_out=stats
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert abs(r["ball_est"] - 10) / 10 < 0.25, dict(r)
+    # complete graphs have diameter 1 -> ball complete after step 1
+    assert stats["iterations"] == 2
+    assert stats["effective_diameter"] == 1
+
+
+def test_hyperball_deterministic_and_monotone(spark, graphs):
+    """Fixed hash salt -> bit-identical runs; N(t) is non-decreasing."""
+    from pcd_spark.graph import hyperball
+
+    g = graphs["cycle_9"]
+    s1, s2 = {}, {}
+    r1 = sorted(
+        (r["vid"], r["ball_est"])
+        for r in hyperball(edges_df(spark, g["edges"]), stats_out=s1).collect()
+    )
+    r2 = sorted(
+        (r["vid"], r["ball_est"])
+        for r in hyperball(edges_df(spark, g["edges"]), stats_out=s2).collect()
+    )
+    assert r1 == r2
+    # the SUM over vertices is float and partial-agg order varies run-to-run
+    # by a ULP; the underlying registers are bit-identical (r1 == r2 above)
+    assert [t for t, _ in s1["nf"]] == [t for t, _ in s2["nf"]]
+    assert [v for _, v in s1["nf"]] == pytest.approx(
+        [v for _, v in s2["nf"]], rel=1e-9
+    )
+    nf = [v for _, v in s1["nf"]]
+    assert nf == sorted(nf)
