@@ -25,6 +25,7 @@ from pcd_spark.graph.walks import random_walks  # noqa: F401
 from pcd_spark.graph.features import neighbor_feature_agg  # noqa: F401
 from pcd_spark.graph.scc import strongly_connected_components  # noqa: F401
 from pcd_spark.graph.hyperball import (  # noqa: F401
+    harmonic_centrality,
     hyperball,
     neighborhood_function,
 )

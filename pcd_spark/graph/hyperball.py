@@ -99,6 +99,107 @@ def _init_regs(vid, m: int, b: int, salt: int):
     )
 
 
+def _hyperball_core(
+    edges: DataFrame,
+    m: int,
+    max_iter: int,
+    harmonic: bool,
+    num_parts: int | None,
+    store: CheckpointStore | None,
+    checkpoint_every: int,
+    salt: int,
+) -> tuple[DataFrame, list, int]:
+    """Shared HyperBall loop. Returns (final_state, nf_log, iterations).
+
+    State: (vid, regs[, est, harm], _delta). With harmonic=True each
+    superstep also carries the running estimate and the harmonic
+    accumulator harm += (|B(v,t)| - |B(v,t-1)|) / t — Boldi & Vigna's
+    per-step geometric-centrality update, one extra double column and two
+    JVM expressions, no extra shuffle."""
+    if m & (m - 1) or m < 16:
+        raise ValueError("m must be a power of two >= 16")
+    b = int(math.log2(m))
+
+    edges = edges.persist()
+    p = num_parts or adaptive_num_parts(edges)
+    sym = symmetrize(edges).repartition(p, "src").persist()
+    sym.count()
+
+    verts = sym.select(F.col("src").alias("vid")).distinct()
+    init_cols = [
+        F.col("vid"),
+        _init_regs(F.col("vid"), m, b, salt).alias("regs"),
+    ]
+    if harmonic:
+        init_cols += [
+            _hll_estimate(_init_regs(F.col("vid"), m, b, salt), m).alias(
+                "est"
+            ),
+            F.lit(0.0).alias("harm"),
+        ]
+    init = verts.select(*init_cols, F.lit(1.0).alias("_delta"))
+
+    max_cols = [F.max(F.col("regs")[i]).alias(f"r{i}") for i in range(m)]
+    rebuilt = F.array(*[F.col(f"r{i}") for i in range(m)]).alias("regs")
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        carry = ["est", "harm"] if harmonic else []
+        prev = state.select("vid", "regs", *carry)
+        # neighbor sketches flow along edges; self-union keeps monotonicity
+        msgs = sym.join(
+            prev.select(F.col("vid").alias("src"), "regs").hint(
+                "shuffle_hash"
+            ),
+            "src",
+        ).select(F.col("dst").alias("vid"), "regs")
+        merged = (
+            msgs.unionByName(prev.select("vid", "regs"))
+            .repartition(p, "vid")
+            .groupBy("vid")
+            .agg(*max_cols)
+            .select("vid", rebuilt)
+        )
+        joined = merged.join(
+            prev.select(
+                "vid", F.col("regs").alias("_old"), *carry
+            ).hint("shuffle_hash"),
+            "vid",
+        )
+        out_cols = [F.col("vid"), F.col("regs")]
+        if harmonic:
+            new_est = _hll_estimate(F.col("regs"), m)
+            # registers are monotone so the raw estimate is too; the
+            # linear-counting -> raw switch can dip by estimator jitter,
+            # hence the clamp to keep harm non-decreasing
+            out_cols += [
+                new_est.alias("est"),
+                (
+                    F.col("harm")
+                    + F.greatest(new_est - F.col("est"), F.lit(0.0))
+                    / F.lit(float(i))
+                ).alias("harm"),
+            ]
+        return joined.select(
+            *out_cols,
+            (F.col("regs") != F.col("_old")).cast("double").alias("_delta"),
+        )
+
+    nf_log: list = []
+    final, iters, _metrics = run_supersteps(
+        init,
+        step,
+        tol=0.5,
+        max_iter=max_iter,
+        store=store,
+        checkpoint_every=checkpoint_every,
+        extra_aggs={"nf": F.sum(_hll_estimate(F.col("regs"), m))},
+        extras_out={},
+        extras_log=nf_log,
+    )
+    edges.unpersist()
+    return final, [(int(t), float(v["nf"])) for t, v in nf_log], iters
+
+
 def hyperball(
     edges: DataFrame,
     m: int = 64,
@@ -123,64 +224,9 @@ def hyperball(
     The undirected ball is used (edges are symmetrized), matching K12's
     BFS distance semantics.
     """
-    if m & (m - 1) or m < 16:
-        raise ValueError("m must be a power of two >= 16")
-    b = int(math.log2(m))
-
-    edges = edges.persist()
-    p = num_parts or adaptive_num_parts(edges)
-    sym = symmetrize(edges).repartition(p, "src").persist()
-    sym.count()
-
-    verts = sym.select(F.col("src").alias("vid")).distinct()
-    init = verts.select(
-        "vid",
-        _init_regs(F.col("vid"), m, b, salt).alias("regs"),
-        F.lit(1.0).alias("_delta"),
+    final, nf, iters = _hyperball_core(
+        edges, m, max_iter, False, num_parts, store, checkpoint_every, salt
     )
-
-    max_cols = [F.max(F.col("regs")[i]).alias(f"r{i}") for i in range(m)]
-    rebuilt = F.array(*[F.col(f"r{i}") for i in range(m)]).alias("regs")
-
-    def step(state: DataFrame, _i: int) -> DataFrame:
-        prev = state.select("vid", "regs")
-        # neighbor sketches flow along edges; self-union keeps monotonicity
-        msgs = sym.join(
-            prev.withColumnRenamed("vid", "src").hint("shuffle_hash"), "src"
-        ).select(F.col("dst").alias("vid"), "regs")
-        merged = (
-            msgs.unionByName(prev)
-            .repartition(p, "vid")
-            .groupBy("vid")
-            .agg(*max_cols)
-            .select("vid", rebuilt)
-        )
-        return merged.join(
-            prev.select("vid", F.col("regs").alias("_old")).hint(
-                "shuffle_hash"
-            ),
-            "vid",
-        ).select(
-            "vid",
-            "regs",
-            (F.col("regs") != F.col("_old")).cast("double").alias("_delta"),
-        )
-
-    nf_log: list = []
-    extras: dict = {}
-    final, iters, _metrics = run_supersteps(
-        init,
-        step,
-        tol=0.5,
-        max_iter=max_iter,
-        store=store,
-        checkpoint_every=checkpoint_every,
-        extra_aggs={"nf": F.sum(_hll_estimate(F.col("regs"), m))},
-        extras_out=extras,
-        extras_log=nf_log,
-    )
-
-    nf = [(int(t), float(v["nf"])) for t, v in nf_log]
     if stats_out is not None:
         n_final = nf[-1][1]
         eff = next(
@@ -190,12 +236,36 @@ def hyperball(
         stats_out["nf"] = nf
         stats_out["effective_diameter"] = eff
         stats_out["iterations"] = iters
-
-    out = final.select(
+    return final.select(
         "vid", _hll_estimate(F.col("regs"), m).alias("ball_est")
     )
-    edges.unpersist()
-    return out
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    m: int = 64,
+    max_iter: int = 64,
+    num_parts: int | None = None,
+    store: CheckpointStore | None = None,
+    checkpoint_every: int = 10,
+    salt: int = 0x9B,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """K22 — approximate harmonic centrality H(v) = sum_{u != v} 1/d(u,v)
+    [PUB: Boldi & Vigna 2014, "Axioms for centrality"; computed exactly as
+    in HyperBall: H(v) = sum_t (|B(v,t)| - |B(v,t-1)|) / t].
+
+    Returns (vid: long, harmonic: double). Same cost shape as hyperball():
+    the accumulator is one double column riding the existing superstep —
+    this is THE practical centrality at web scale (betweenness needs
+    all-pairs paths; harmonic needs only ball sizes)."""
+    final, nf, iters = _hyperball_core(
+        edges, m, max_iter, True, num_parts, store, checkpoint_every, salt
+    )
+    if stats_out is not None:
+        stats_out["nf"] = nf
+        stats_out["iterations"] = iters
+    return final.select("vid", F.col("harm").alias("harmonic"))
 
 
 def neighborhood_function(

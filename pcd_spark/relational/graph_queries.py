@@ -556,3 +556,22 @@ def k21(spark, sf):
     return hyperball(e, m=64).select(
         "vid", F.round("ball_est", 4).alias("ball_est")
     )
+
+
+@g("k22_harmonic_centrality", None)  # HLL estimates; nx-pinned in pytest
+def k22(spark, sf):
+    """K22: HyperBall harmonic centrality top-20 on the bounded
+    customer-supplier graph — the practical web-scale centrality (Boldi &
+    Vigna 2014): betweenness needs all-pairs paths, harmonic needs only the
+    per-superstep ball-size deltas K21 already computes. Deterministic
+    (fixed hash salt) -> stable rows-only driver check; exactness vs
+    nx.harmonic_centrality is pinned in tests/test_graph_algos.py."""
+    from pcd_spark.graph import harmonic_centrality
+
+    e = cust_supp_edges(spark, sf).filter(F.col("src") < 500)
+    return (
+        harmonic_centrality(e, m=64)
+        .select("vid", F.round("harmonic", 4).alias("harmonic"))
+        .orderBy(F.desc("harmonic"), F.asc("vid"))
+        .limit(20)
+    )

@@ -835,3 +835,36 @@ def test_hyperball_deterministic_and_monotone(spark, graphs):
     )
     nf = [v for _, v in s1["nf"]]
     assert nf == sorted(nf)
+
+
+@pytest.mark.parametrize("name", ["er_200", "two_cliques", "path_100"])
+def test_harmonic_centrality_tracks_networkx(spark, graphs, name):
+    """K22: per-vertex estimates within HLL tolerance of exact
+    nx.harmonic_centrality (m=64 -> RSE ~13%/vertex; pinned at 20%/vertex
+    and 10% on the sum over these deterministic fixtures)."""
+    from pcd_spark.graph import harmonic_centrality
+
+    g = graphs[name]
+    G = nx.Graph(g["edges"])
+    got = {
+        r["vid"]: r["harmonic"]
+        for r in harmonic_centrality(edges_df(spark, g["edges"]), m=64).collect()
+    }
+    want = nx.harmonic_centrality(G)
+    assert set(got) == {v for v in G.nodes() if G.degree(v) > 0}
+    for v, h in got.items():
+        assert abs(h / want[v] - 1) < 0.20, (name, v, h, want[v])
+    s_got, s_want = sum(got.values()), sum(want[v] for v in got)
+    assert abs(s_got / s_want - 1) < 0.10
+
+
+def test_harmonic_centrality_ranks_hub_first(spark, graphs):
+    """The star center must rank first by a wide margin — the property a
+    centrality consumer actually relies on."""
+    from pcd_spark.graph import harmonic_centrality
+
+    g = graphs["star_1001"]
+    rows = harmonic_centrality(edges_df(spark, g["edges"]), m=64).collect()
+    ranked = sorted(rows, key=lambda r: -r["harmonic"])
+    assert ranked[0]["vid"] == 0
+    assert ranked[0]["harmonic"] > 1.5 * ranked[1]["harmonic"]
