@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "k15_hits",
     "k16_link_prediction",
     "v5_kmeans_clusters",
+    "x14_dedup_keep_best",
+    "k22_harmonic_centrality",
 ]
 
 

@@ -29,3 +29,4 @@ from pcd_spark.graph.hyperball import (  # noqa: F401
     hyperball,
     neighborhood_function,
 )
+from pcd_spark.graph.betweenness import betweenness_centrality  # noqa: F401

@@ -1,0 +1,207 @@
+"""K23 — betweenness centrality via Brandes' algorithm, sampled sources.
+
+Brandes 2001 ["A faster algorithm for betweenness centrality", J. Math.
+Sociol.]: bc(v) = Σ_{s≠v≠t} σ_st(v)/σ_st, computed per source s as a
+forward BFS that counts shortest paths (σ) plus a backward sweep that
+accumulates pair dependencies δ_s(v) = Σ_{w: succ} σ_v/σ_w · (1 + δ_s(w)).
+Exact betweenness needs every vertex as a source — O(V·E), hopeless at
+10^12 — so the production form is source SAMPLING [PUB: Brandes & Pich
+2007 "Centrality estimation in large networks"]: run S sources, scale by
+V/S. This module computes the EXACT partial sums for a given source set
+(so the oracle can pin it exactly); the estimator scaling is the caller's
+one multiplication.
+
+Spark shape — both phases are K7 superstep programs over state keyed by
+(s, vid), i.e. all S sources advance in the same wide joins:
+
+- forward: level-synchronous BFS; level-t σ values are final after step t
+  (all shortest paths enter from level t-1), so σ needs no fixpoint —
+  newly-settled frontier ⋈ src-partitioned edges → SUM σ by (s, dst) →
+  left-join into state. Work per step = O(S · frontier-out-degree);
+  Σ over steps = O(S·E). Frontier-only messaging is the same optimization
+  as K12 (sssp.py).
+- backward: levels strictly descend, so step i processes contributions
+  FROM dist == L_max-i+1 INTO dist == L_max-i: movers ⋈ dst-keyed edges →
+  SUM (1+δ_w)/σ_w by (s, v) → δ_v = σ_v · sum. Each edge participates in
+  exactly one step per source ⇒ Σ over steps = O(S·E). Runs exactly L_max
+  steps (tol = -1; no early exit — lower levels always remain).
+
+Per-vertex output: bc(v) = Σ_{s ∈ sources, s ≠ v} δ_s(v). For undirected
+graphs each unordered pair is counted from both ends when both endpoints
+are sampled; with sources = ALL vertices this equals exactly 2× the
+textbook (networkx) betweenness — pinned in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pcd_spark.graph.partition import adaptive_num_parts
+from pcd_spark.graph.superstep import run_supersteps
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    sources: Sequence[int] | None = None,
+    n_samples: int | None = None,
+    directed: bool = False,
+    max_iter: int = 200,
+    num_parts: int | None = None,
+    sample_salt: int = 0xBC,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Returns DataFrame(vid: long, betweenness: double) — exact Brandes
+    pair-dependency sums over the given `sources` (every vertex with an
+    edge when sources is None and n_samples is None).
+
+    n_samples: deterministic hash-sample of that many sources
+    (xxhash64-ordered — no rand(), reproducible at any parallelism).
+    To estimate full betweenness from a sample, multiply by V/S
+    (Brandes-Pich); this function returns the raw sums so tests can pin
+    them exactly.
+    """
+    edges = edges.persist()
+    p = num_parts or adaptive_num_parts(edges)
+
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().repartition(p, "src").persist()
+    e.count()
+    # backward phase joins ON dst every step — partition once, reuse
+    # (the HITS e_dst discipline)
+    e_dst = e.repartition(p, "dst").persist()
+
+    # BOTH endpoints: a directed sink has no out-edges but is still a BFS
+    # target whose settling feeds the backward dependencies
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .unionByName(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    if sources is not None:
+        src_list = sorted(int(s) for s in sources)
+    elif n_samples is not None:
+        src_list = [
+            r["vid"]
+            for r in verts.orderBy(
+                F.xxhash64("vid", F.lit(sample_salt)), "vid"
+            )
+            .limit(n_samples)
+            .collect()
+        ]
+    else:
+        src_list = [r["vid"] for r in verts.collect()]
+    if not src_list:
+        raise ValueError("betweenness: no source vertices")
+
+    srcs = e.sparkSession.createDataFrame(
+        [(int(s),) for s in src_list], "s long"
+    )
+    # state: one row per (source, vertex); dist/sigma null until settled
+    init = verts.crossJoin(F.broadcast(srcs)).select(
+        "s",
+        "vid",
+        F.when(F.col("vid") == F.col("s"), F.lit(0)).alias("dist"),
+        F.when(F.col("vid") == F.col("s"), F.lit(1.0)).alias("sigma"),
+        F.when(F.col("vid") == F.col("s"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("_delta"),
+    )
+
+    def fwd(state: DataFrame, i: int) -> DataFrame:
+        frontier = state.filter(F.col("_delta") > 0).select(
+            "s", F.col("vid").alias("src"), "sigma"
+        )
+        msgs = (
+            e.hint("shuffle_hash")
+            .join(frontier, "src")
+            .select("s", F.col("dst").alias("vid"), "sigma")
+            .repartition(p, "vid")
+            .groupBy("s", "vid")
+            .agg(F.sum("sigma").alias("msig"))
+        )
+        settled = F.col("dist").isNotNull()
+        return state.select("s", "vid", "dist", "sigma").join(
+            msgs.hint("shuffle_hash"), ["s", "vid"], "left"
+        ).select(
+            "s",
+            "vid",
+            F.when(settled, F.col("dist")).otherwise(
+                F.when(F.col("msig").isNotNull(), F.lit(i))
+            ).alias("dist"),
+            F.when(settled, F.col("sigma")).otherwise(F.col("msig")).alias(
+                "sigma"
+            ),
+            F.when(~settled & F.col("msig").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("_delta"),
+        )
+
+    fstate, lmax_plus1, _ = run_supersteps(
+        init, fwd, tol=0.5, max_iter=max_iter
+    )
+    # the loop runs one no-change step past the last settling step
+    lmax = lmax_plus1 - 1
+
+    binit = fstate.filter(F.col("dist").isNotNull()).select(
+        "s", "vid", "dist", "sigma",
+        F.lit(0.0).alias("delta"),
+        F.lit(1.0).alias("_delta"),
+    )
+
+    def bwd(state: DataFrame, i: int) -> DataFrame:
+        lvl = lmax - i + 1  # contributions FROM this level INTO lvl-1
+        movers = state.filter(F.col("dist") == lvl).select(
+            "s",
+            F.col("vid").alias("dst"),
+            ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("contrib"),
+        )
+        msgs = (
+            e_dst.hint("shuffle_hash")
+            .join(movers, "dst")
+            .select("s", F.col("src").alias("vid"), "contrib")
+            .repartition(p, "vid")
+            .groupBy("s", "vid")
+            .agg(F.sum("contrib").alias("csum"))
+        )
+        upd = (
+            F.col("csum").isNotNull() & (F.col("dist") == lvl - 1)
+        )
+        return state.select("s", "vid", "dist", "sigma", "delta").join(
+            msgs.hint("shuffle_hash"), ["s", "vid"], "left"
+        ).select(
+            "s",
+            "vid",
+            "dist",
+            "sigma",
+            F.when(upd, F.col("sigma") * F.col("csum")).otherwise(
+                F.col("delta")
+            ).alias("delta"),
+            F.when(upd, F.lit(1.0)).otherwise(F.lit(0.0)).alias("_delta"),
+        )
+
+    if lmax >= 1:
+        bstate, _, _ = run_supersteps(
+            binit, bwd, tol=-1.0, max_iter=lmax
+        )
+    else:
+        bstate = binit
+
+    out = (
+        bstate.filter(F.col("vid") != F.col("s"))
+        .groupBy("vid")
+        .agg(F.sum("delta").alias("betweenness"))
+    )
+    if stats_out is not None:
+        stats_out["sources"] = src_list
+        stats_out["levels"] = lmax
+    e.unpersist()
+    e_dst.unpersist()
+    edges.unpersist()
+    return out

@@ -63,7 +63,7 @@ _PRIORITY = [
     "k13_louvain_communities", "k14_ppr_top20",
     "k15_hits", "k16_link_prediction", "k17_assortativity",
     "k18_random_walks", "k19_neighbor_features", "k20_scc",
-    "k21_hyperball", "k22_harmonic_centrality",
+    "k21_hyperball", "k22_harmonic_centrality", "k23_betweenness",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -575,3 +575,24 @@ def k22(spark, sf):
         .orderBy(F.desc("harmonic"), F.asc("vid"))
         .limit(20)
     )
+
+
+@g("k23_betweenness", None)  # iterative 2-phase Brandes; nx-pinned in pytest
+def k23(spark, sf):
+    """K23: sampled-source Brandes betweenness on the bounded
+    customer-supplier graph — 8 deterministically hash-sampled sources
+    (Brandes-Pich estimator; raw pair-dependency sums, scale by V/S for
+    the full-graph estimate). Exactness of the partial sums is pinned
+    against networkx / a pure-python Brandes accumulator in
+    tests/test_graph_algos.py; sampling is xxhash64-ordered so the
+    rows-only driver check is stable."""
+    from pcd_spark.graph import betweenness_centrality
+
+    e = cust_supp_edges(spark, sf).filter(F.col("src") < 300)
+    return (
+        betweenness_centrality(e, n_samples=8)
+        .select("vid", F.round("betweenness", 6).alias("betweenness"))
+        .filter(F.col("betweenness") > 0)
+        .orderBy(F.desc("betweenness"), F.asc("vid"))
+        .limit(50)
+    )

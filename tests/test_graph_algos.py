@@ -868,3 +868,108 @@ def test_harmonic_centrality_ranks_hub_first(spark, graphs):
     ranked = sorted(rows, key=lambda r: -r["harmonic"])
     assert ranked[0]["vid"] == 0
     assert ranked[0]["harmonic"] > 1.5 * ranked[1]["harmonic"]
+
+
+# ---- K23 betweenness centrality ---------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["karate", "two_cliques", "cycle_9"])
+def test_betweenness_full_sources_matches_networkx(spark, graphs, name):
+    """With every vertex as a source the raw pair-dependency sums equal
+    exactly 2x networkx betweenness (undirected pairs counted from both
+    endpoints) — float-exact Brandes, not an approximation."""
+    from pcd_spark.graph import betweenness_centrality
+
+    g = graphs[name]
+    G = nx.Graph(g["edges"])
+    got = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness_centrality(edges_df(spark, g["edges"])).collect()
+    }
+    want = nx.betweenness_centrality(G, normalized=False)
+    for v in got:
+        assert abs(got[v] - 2.0 * want[v]) < 1e-6, (name, v, got[v], want[v])
+
+
+def test_betweenness_directed_matches_networkx(spark, graphs):
+    """Directed semantics (each ordered pair once) incl. dangling sinks,
+    which must still settle in the forward BFS and feed dependencies."""
+    from pcd_spark.graph import betweenness_centrality
+
+    g = graphs["directed_toy"]
+    G = nx.DiGraph(g["edges"])
+    got = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness_centrality(
+            edges_df(spark, g["edges"]), directed=True
+        ).collect()
+    }
+    want = nx.betweenness_centrality(G, normalized=False)
+    for v in got:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+
+
+def test_betweenness_sampled_sources_exact_partial_sums(spark, graphs):
+    """A sampled-source run returns the EXACT Brandes partial sums for the
+    sample (the Brandes-Pich estimator is caller-side scaling) — compared
+    against an independent pure-python Brandes accumulator."""
+    import collections
+
+    from pcd_spark.graph import betweenness_centrality
+
+    g = graphs["er_200"]
+    G = nx.Graph(g["edges"])
+    S = [0, 7, 13, 42]
+    got = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness_centrality(
+            edges_df(spark, g["edges"]), sources=S
+        ).collect()
+    }
+    acc: dict = collections.defaultdict(float)
+    for s in S:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = [s]
+        dq = collections.deque([s])
+        while dq:
+            u = dq.popleft()
+            for w in G[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0.0
+                    dq.append(w)
+                    order.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta: dict = collections.defaultdict(float)
+        for w in reversed(order):
+            for u in G[w]:
+                if dist.get(u, -2) == dist[w] - 1:
+                    delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            if w != s:
+                acc[w] += delta[w]
+    for v in got:
+        assert abs(got[v] - acc[v]) < 1e-6, (v, got[v], acc[v])
+
+
+def test_betweenness_hash_sampling_deterministic(spark, graphs):
+    """n_samples picks the same xxhash64-ordered sources every run."""
+    from pcd_spark.graph import betweenness_centrality
+
+    g = graphs["two_cliques"]
+    s1, s2 = {}, {}
+    r1 = sorted(
+        (r["vid"], round(r["betweenness"], 9))
+        for r in betweenness_centrality(
+            edges_df(spark, g["edges"]), n_samples=3, stats_out=s1
+        ).collect()
+    )
+    r2 = sorted(
+        (r["vid"], round(r["betweenness"], 9))
+        for r in betweenness_centrality(
+            edges_df(spark, g["edges"]), n_samples=3, stats_out=s2
+        ).collect()
+    )
+    assert s1["sources"] == s2["sources"] and len(s1["sources"]) == 3
+    assert r1 == r2
