@@ -30,3 +30,4 @@ from pcd_spark.graph.hyperball import (  # noqa: F401
     neighborhood_function,
 )
 from pcd_spark.graph.betweenness import betweenness_centrality  # noqa: F401
+from pcd_spark.graph.truss import k_truss  # noqa: F401

@@ -57,13 +57,14 @@ _PRIORITY = [
     "m2_blob_features", "x8_fingerprint",
     "v4_ivf_topk", "v5_kmeans_clusters",
     "x11_repetition_metrics", "x12_decontamination", "x13_pii_scrub",
-    "x14_dedup_keep_best",
+    "x14_dedup_keep_best", "x15_split_assignment",
     "k3_pagerank_top20", "k5_lpa_community_sizes", "k8_corpus_pipeline",
     "k10_kcore", "k11_clustering_coefficient", "k12_bfs_distances",
     "k13_louvain_communities", "k14_ppr_top20",
     "k15_hits", "k16_link_prediction", "k17_assortativity",
     "k18_random_walks", "k19_neighbor_features", "k20_scc",
     "k21_hyperball", "k22_harmonic_centrality", "k23_betweenness",
+    "k24_ktruss",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

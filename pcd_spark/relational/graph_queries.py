@@ -596,3 +596,20 @@ def k23(spark, sf):
         .orderBy(F.desc("betweenness"), F.asc("vid"))
         .limit(50)
     )
+
+
+@g("k24_ktruss", None)  # iterative support peeling; nx-pinned in pytest
+def k24(spark, sf):
+    """K24: 4-truss of the part co-occurrence graph — the cohesive cores
+    where every co-purchase edge sits in >= 2 surviving triangles (one
+    step stronger than K10's k-core). Output: per-truss-edge support,
+    densest edges first. Exactness vs networkx.k_truss is pinned in
+    tests/test_graph_algos.py; peeling is order-independent so the
+    rows-only driver check is deterministic."""
+    from pcd_spark.graph import k_truss
+
+    return (
+        k_truss(part_cooccurrence_edges(spark, sf), k=4)
+        .orderBy(F.desc("sup"), F.asc("src"), F.asc("dst"))
+        .limit(100)
+    )

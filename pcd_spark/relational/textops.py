@@ -986,3 +986,34 @@ def x14(spark, sf):
         F.count("*").alias("n_members"),
         (F.sum("n_chars") - F.max("n_chars")).alias("chars_removed"),
     )
+
+
+@qt(
+    "x15_split_assignment",
+    """SELECT doc_id,
+              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                     THEN 'train'
+                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                     THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents""",
+)
+def x15(spark, sf):
+    # Deterministic train/val/test SPLIT ASSIGNMENT — the step every
+    # training-data pipeline needs between curation and tokenization. The
+    # split key is the md5 of the stable doc id, split by hex-prefix
+    # thresholds ('e6' = 230/256 ~ 0.9, 'f3' = 243/256 ~ 0.95): pure string
+    # comparison, so the SAME assignment is reproducible in any engine
+    # (Spark here, DuckDB oracle, a downstream tokenizer in Ray) without
+    # sharing code — the property that matters when the split must never
+    # drift across reprocessing runs at 10^12 docs. Stateless per-row
+    # expression: no shuffle, no Python, scales embarrassingly.
+    d = load(spark, sf, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(h2 < "e6", "train")
+        .when(h2 < "f3", "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -21,12 +21,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "cc", "lpa", "triangles", "kcore",
-                             "modularity", "lcc", "sssp", "louvain"])
+                             "modularity", "lcc", "sssp", "louvain", "hits",
+                             "scc", "hyperball", "harmonic", "betweenness",
+                             "ktruss"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--max-iter", type=int, default=50)
-    ap.add_argument("--k", type=int, default=3, help="k for --algo kcore")
+    ap.add_argument("--k", type=int, default=3,
+                    help="k for --algo kcore / ktruss")
+    ap.add_argument("--n-samples", type=int, default=16,
+                    help="sampled sources for --algo betweenness")
     ap.add_argument("--source", type=int, action="append", default=None,
                     help="source vertex for --algo sssp or personalized pagerank (repeatable)")
     args = ap.parse_args()
@@ -35,8 +40,13 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from pcd_spark.graph import (
+        betweenness_centrality,
         connected_components,
+        harmonic_centrality,
+        hits,
+        hyperball,
         k_core,
+        k_truss,
         label_propagation,
         local_clustering,
         louvain,
@@ -44,6 +54,7 @@ def main() -> None:
         pagerank,
         read_snap_edges,
         shortest_paths,
+        strongly_connected_components,
         triangle_counts,
     )
     from pcd_spark.storage import CheckpointStore
@@ -83,6 +94,24 @@ def main() -> None:
             ap.error("--algo sssp requires at least one --source")
         res = shortest_paths(edges, args.source, max_iter=args.max_iter,
                              store=store, stats_out=stats)
+    elif args.algo == "hits":
+        res = hits(edges, max_iter=args.max_iter, store=store, stats_out=stats)
+    elif args.algo == "scc":
+        res = strongly_connected_components(edges, max_iter=args.max_iter,
+                                            stats_out=stats)
+    elif args.algo == "hyperball":
+        res = hyperball(edges, max_iter=args.max_iter, store=store,
+                        stats_out=stats)
+    elif args.algo == "harmonic":
+        res = harmonic_centrality(edges, max_iter=args.max_iter, store=store,
+                                  stats_out=stats)
+    elif args.algo == "betweenness":
+        res = betweenness_centrality(edges, n_samples=args.n_samples,
+                                     sources=args.source or None,
+                                     max_iter=args.max_iter, stats_out=stats)
+    elif args.algo == "ktruss":
+        res = k_truss(edges, k=args.k, max_iter=args.max_iter,
+                      stats_out=stats)
     else:
         res = triangle_counts(edges)
 

@@ -973,3 +973,46 @@ def test_betweenness_hash_sampling_deterministic(spark, graphs):
     )
     assert s1["sources"] == s2["sources"] and len(s1["sources"]) == 3
     assert r1 == r2
+
+
+# ---- K24 k-truss -------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,k", [("karate", 3), ("karate", 4), ("karate", 5), ("er_200", 4)]
+)
+def test_ktruss_matches_networkx(spark, graphs, name, k):
+    """Edge set of the k-truss must equal nx.k_truss exactly — peeling is
+    order-independent, so synchronous rounds hit the sequential fixpoint."""
+    from pcd_spark.graph import k_truss
+
+    g = graphs[name]
+    G = nx.Graph(g["edges"])
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in k_truss(edges_df(spark, g["edges"]), k).collect()
+    )
+    want = sorted((min(u, v), max(u, v)) for u, v in nx.k_truss(G, k).edges())
+    assert got == want
+
+
+def test_ktruss_bridge_removed_and_support_exact(spark, graphs):
+    """Two 10-cliques joined by one bridge: any k >= 3 truss drops the
+    bridge (it closes no triangle) and keeps both cliques, where every
+    edge's within-truss support is exactly n-2 = 8."""
+    from pcd_spark.graph import k_truss
+
+    g = graphs["two_cliques"]
+    stats: dict = {}
+    rows = k_truss(edges_df(spark, g["edges"]), k=5, stats_out=stats).collect()
+    got = {(r["src"], r["dst"]): r["sup"] for r in rows}
+    assert (9, 10) not in got          # the bridge
+    assert len(got) == 90              # 2 x C(10,2)
+    assert all(s == 8 for s in got.values())
+
+
+def test_ktruss_empty_when_no_triangles(spark, graphs):
+    from pcd_spark.graph import k_truss
+
+    g = graphs["path_100"]
+    assert k_truss(edges_df(spark, g["edges"]), k=3).count() == 0
