@@ -600,16 +600,23 @@ def k23(spark, sf):
 
 @g("k24_ktruss", None)  # iterative support peeling; nx-pinned in pytest
 def k24(spark, sf):
-    """K24: 4-truss of the part co-occurrence graph — the cohesive cores
-    where every co-purchase edge sits in >= 2 surviving triangles (one
-    step stronger than K10's k-core). Output: per-truss-edge support,
-    densest edges first. Exactness vs networkx.k_truss is pinned in
-    tests/test_graph_algos.py; peeling is order-independent so the
-    rows-only driver check is deterministic."""
+    """K24: 4-truss of the bounded part co-occurrence graph — the cohesive
+    cores where every co-purchase edge sits in >= 2 surviving triangles
+    (one step stronger than K10's k-core). Both endpoints bounded to
+    partkey < 2000 (the k16 discipline: each peel round re-enumerates
+    wedges, so the QUERY pins a fixed-size subgraph to keep its cost flat
+    across scale factors — unbounded truss at sf0.1 is ~10 full K6 passes;
+    callers wanting the full graph use pcd_spark.graph.k_truss directly).
+    Output: per-truss-edge support, densest edges first. Exactness vs
+    networkx.k_truss is pinned in tests/test_graph_algos.py; peeling is
+    order-independent so the rows-only driver check is deterministic."""
     from pcd_spark.graph import k_truss
 
+    e = part_cooccurrence_edges(spark, sf).filter(
+        (F.col("src") < 2000) & (F.col("dst") < 2000)
+    )
     return (
-        k_truss(part_cooccurrence_edges(spark, sf), k=4)
+        k_truss(e, k=4)
         .orderBy(F.desc("sup"), F.asc("src"), F.asc("dst"))
         .limit(100)
     )
