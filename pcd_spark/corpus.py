@@ -339,3 +339,39 @@ def extract_imports_udtf(corpus: DataFrame) -> DataFrame:
            FROM _pcd_udtf_corpus c,
            LATERAL pcd_extract_imports(c.lang, c.content) t"""
     )
+
+
+CORPUS_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def read_jsonl_corpus(
+    spark, path: str, strict: bool = True
+):
+    """A1b: JSON-lines corpus source with the canonical schema ENFORCED
+    (BASELINE.json input_hint: repo/path/commit/lang/content, all string).
+
+    No schema inference (an extra full pass at 10^12 files) and no silent
+    row loss: strict=True (FAILFAST) fails the job on the first malformed
+    line; strict=False routes malformed lines into a `_corrupt` column so
+    a curation pipeline can quarantine-and-count them instead of dropping
+    data — the two failure policies a production ingest actually uses.
+    Extra JSON keys are ignored (schema projection), missing keys become
+    nulls; both are per-row JVM work, no Python.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local, JVM exprs)
+
+    if strict:
+        return spark.read.schema(CORPUS_SCHEMA).option(
+            "mode", "FAILFAST"
+        ).json(path)
+    df = spark.read.schema(
+        CORPUS_SCHEMA + ", _corrupt string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).json(path)
+    return df.select(
+        "repo", "path", "commit", "lang", "content",
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+    )

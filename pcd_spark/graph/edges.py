@@ -53,3 +53,25 @@ def vertices_of(edges: DataFrame) -> DataFrame:
         .unionByName(edges.select(F.col("dst").alias("vid")))
         .distinct()
     )
+
+
+def read_csv_edges(
+    spark: SparkSession,
+    path: str,
+    weight: bool = False,
+    header: bool = False,
+    delimiter: str = ",",
+) -> DataFrame:
+    """A3b: CSV/TSV edge list with an ENFORCED schema — the reader never
+    infers (schema inference is a full extra pass over the data, absurd at
+    100 TB) and never silently coerces: mode=FAILFAST makes a malformed
+    row fail the job instead of becoming a null vertex id that corrupts
+    the graph downstream."""
+    schema = "src long, dst long" + (", weight double" if weight else "")
+    return spark.read.csv(
+        path,
+        schema=schema,
+        header=header,
+        sep=delimiter,
+        mode="FAILFAST",
+    )

@@ -169,3 +169,80 @@ def test_udtf_extractor_matches_regex_path(spark):
     a = sorted(map(tuple, extract_imports(latest).collect()))
     b = sorted(map(tuple, extract_imports_udtf(latest).collect()))
     assert a == b and len(a) > 0
+
+
+# ---- A1b/A3b sources: enforced-schema readers -------------------------------
+
+
+def test_read_csv_edges_enforced_schema(spark, tmp_path):
+    from pcd_spark.graph.edges import read_csv_edges
+
+    p = tmp_path / "edges.csv"
+    p.write_text("0,1\n1,2\n2,0\n")
+    rows = sorted(
+        (r["src"], r["dst"]) for r in read_csv_edges(spark, str(p)).collect()
+    )
+    assert rows == [(0, 1), (1, 2), (2, 0)]
+    pw = tmp_path / "weighted.tsv"
+    pw.write_text("0\t1\t0.5\n1\t2\t2.0\n")
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in read_csv_edges(
+            spark, str(pw), weight=True, delimiter="\t"
+        ).collect()
+    }
+    assert got == {(0, 1): 0.5, (1, 2): 2.0}
+
+
+def test_read_csv_edges_failfast_on_malformed(spark, tmp_path):
+    from pcd_spark.graph.edges import read_csv_edges
+
+    p = tmp_path / "bad.csv"
+    p.write_text("0,1\nnot_a_vertex,2\n")
+    with pytest.raises(Exception):  # Spark wraps the FAILFAST parse error
+        read_csv_edges(spark, str(p)).collect()
+
+
+def test_read_jsonl_corpus_schema_and_sha_invariant(spark, tmp_path):
+    """Schema projection (extra keys ignored, missing keys null) and the
+    per-row invariant: sha256(content) survives the JSON round trip."""
+    import hashlib
+    import json as _json
+
+    from pcd_spark.corpus import read_jsonl_corpus, with_sha
+
+    recs = [
+        {"repo": "r1", "path": "a.py", "commit": "c1", "lang": "py",
+         "content": "import os\n", "extra_key": 42},
+        {"repo": "r1", "path": "b.py", "commit": "c1", "lang": "py",
+         "content": "x = 1\n"},
+        {"repo": "r2", "path": "c.py", "commit": "c9", "lang": "py"},
+    ]
+    p = tmp_path / "corpus.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in recs) + "\n")
+    df = read_jsonl_corpus(spark, str(p))
+    assert df.columns == ["repo", "path", "commit", "lang", "content"]
+    got = {r["path"]: r for r in df.collect()}
+    assert got["c.py"]["content"] is None
+    shas = {
+        r["path"]: r["content_sha"]
+        for r in with_sha(df.fillna({"content": ""})).collect()
+    }
+    for rec in recs:
+        want = hashlib.sha256(rec.get("content", "").encode()).hexdigest()
+        assert shas[rec["path"]] == want
+
+
+def test_read_jsonl_corpus_corrupt_policies(spark, tmp_path):
+    from pcd_spark.corpus import read_jsonl_corpus
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"repo":"r","path":"a","commit":"c","lang":"py","content":"ok"}\n'
+        "this is not json\n"
+    )
+    rows = read_jsonl_corpus(spark, str(p), strict=False).collect()
+    flags = sorted((r["path"] or "?", r["is_corrupt"]) for r in rows)
+    assert flags == [("?", True), ("a", False)]
+    with pytest.raises(Exception):
+        read_jsonl_corpus(spark, str(p), strict=True).collect()
