@@ -54,6 +54,7 @@ _PRIORITY = [
     "e2_dense_rank", "e4_lag_delta", "e6_ntile_percent_rank",
     "g2_intersect", "g3_except", "h3_string_basics", "h5_date_functions",
     "h6_math", "i2_tumbling_window_batch", "i3_sliding_window_batch",
+    "i8_distinct_users_batch",
     "m2_blob_features", "x8_fingerprint",
     "v4_ivf_topk", "v5_kmeans_clusters",
     "x11_repetition_metrics", "x12_decontamination", "x13_pii_scrub",

@@ -927,3 +927,25 @@ def d8(spark, sf):
         F.concat_ws(",", F.sort_array(F.collect_set("l_returnflag"))).alias("flags"),
         F.count("*").alias("n"),
     )
+
+
+@q(
+    "i8_distinct_users_batch",
+    """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start,
+              COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+       FROM events GROUP BY 1""",
+)
+def i8b(spark, sf):
+    # batch twin of streaming.approx_distinct_users with the EXACT distinct
+    # count (batch can afford the extra shuffle; streaming must use the HLL
+    # form because per-window distinct sets are unbounded state). The
+    # approx-vs-exact gap is pinned in tests/test_streaming.py.
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_users", "n_events")
+    )

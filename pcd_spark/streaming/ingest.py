@@ -162,3 +162,30 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def approx_distinct_users(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """I8: watermarked per-window DISTINCT-USER counts via HLL.
+
+    Exact COUNT(DISTINCT) is unsupported in streaming aggregations (it
+    would need unbounded per-window sets in the state store); the standard
+    production form is approx_count_distinct — O(registers) state per
+    window, mergeable across triggers, rsd 2% here. The batch twin
+    (`i8_distinct_users_batch`) computes the EXACT count with a DuckDB
+    oracle; the streaming test pins approx-vs-exact tolerance."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "approx_users",
+            "n_events",
+        )
+    )

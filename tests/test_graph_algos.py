@@ -833,8 +833,12 @@ def test_hyperball_deterministic_and_monotone(spark, graphs):
     assert [v for _, v in s1["nf"]] == pytest.approx(
         [v for _, v in s2["nf"]], rel=1e-9
     )
+    # monotone up to summation jitter: once registers stop changing, N(t)
+    # is the SAME per-vertex estimates re-summed in a different partial-agg
+    # order, which can dip by a ULP
     nf = [v for _, v in s1["nf"]]
-    assert nf == sorted(nf)
+    for a, b in zip(nf, nf[1:]):
+        assert b >= a * (1 - 1e-9), nf
 
 
 @pytest.mark.parametrize("name", ["er_200", "two_cliques", "path_100"])

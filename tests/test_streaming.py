@@ -198,3 +198,38 @@ def test_stateful_user_totals_across_batches(spark, stream_dirs):
             latest[r["user_id"]] = (r["n"], r["total"])
     assert latest[1] == (2, 17.0), latest
     assert latest[2] == (1, 5.0), latest
+
+
+def test_approx_distinct_users_tracks_exact(spark, stream_dirs):
+    """I8: the streaming HLL distinct-user counts must land within the rsd
+    envelope of the exact batch counts on every window (rsd=2%; pinned at
+    5% here), with event totals exactly equal."""
+    from pcd_spark.streaming.ingest import approx_distinct_users
+
+    src, ckpt, _ = stream_dirs
+    rows = [(m, (m * 7) % 11, "click" if m % 2 else "view", m)
+            for m in range(0, 30)]
+    batch_df = _mk_events(spark, rows)
+    _drop_file(batch_df, src, "b0.parquet")
+
+    got = _run_to_memory(
+        approx_distinct_users(stream_events(spark, src)), "i8_t", ckpt,
+        output_mode="complete",
+    ).collect()
+    want = {
+        r["win_start"]: (r["n_users"], r["n_events"])
+        for r in batch_df.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_users", "n_events")
+        .collect()
+    }
+    assert len(got) == len(want) > 0
+    for r in got:
+        exact_users, exact_events = want[r["win_start"]]
+        assert r["n_events"] == exact_events
+        assert abs(r["approx_users"] - exact_users) <= max(
+            1, 0.05 * exact_users
+        ), (r["win_start"], r["approx_users"], exact_users)
