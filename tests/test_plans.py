@@ -1,0 +1,112 @@
+"""Physical-plan regression tests (SURVEY §4 discipline, VERDICT r1 themes).
+
+These pin the OPTIMIZER-FACING properties the engine's scale story depends
+on — that filters reach the parquet scan, projections prune columns, small
+dimensions broadcast, nothing plans a cartesian, and no per-row Python UDF
+(BatchEvalPython) ever appears in a hot path. Correctness tests can't catch
+regressions here: a query that silently re-plans as a cartesian or loses
+pushdown still returns the right rows at sf0.001 and falls over at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pcd_spark.relational import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name]["spark"](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# Pure-relational entries whose construction is lazy (no internal jobs) —
+# building the physical plan is cheap and execution-free. The iterative
+# graph/clustering queries (k*, x10/x14, v5) run jobs inside their builder
+# and are plan-audited where it matters (k6's broadcast test, x4's
+# no-cartesian test); sweeping them here would re-run them for no signal.
+PLAN_SWEEP = [
+    "b1_project_cast", "b2_filter_range", "b3_filter_in_null_like",
+    "b4_bool_combinators", "b5_conditional_projection",
+    "c1_join_inner_agg", "c2_join_broadcast_dims",
+    "c3_join_shuffle_hash_hint", "c4_join_left_outer", "c5_join_left_semi",
+    "c6_join_left_anti", "c7_self_join_theta", "c8_range_join",
+    "c9_asof_join",
+    "d1_groupby_agg", "d2_global_agg", "d3_distinct", "d4_count_distinct",
+    "d5_approx_count_distinct", "d6_deterministic_argmax", "d8_collect_set",
+    "d9_rollup", "d9b_cube",
+    "e1_rownum_latest", "e2_dense_rank", "e3_topk_per_group",
+    "e4_lag_delta", "e5_moving_avg", "e6_ntile_percent_rank",
+    "f1_global_sort", "f2_limit", "f3_global_topk",
+    "g1_union", "g2_intersect", "g3_except",
+    "h1_sha256", "h2_regexp_extract_all", "h3_string_basics",
+    "h5_date_functions", "h6_math", "h7_array_functions",
+    "h8_higher_order_dot", "h9_map_functions", "h10_json",
+    "i2_tumbling_window_batch", "i3_sliding_window_batch",
+    "i4_session_window_batch", "i8_distinct_users_batch",
+    "x1_dedup_exact", "x2_minhash_signature", "x3_minhash_lsh_buckets",
+    "x5_token_count", "x6_quality_score", "x7_langid_heuristic",
+    "x8_fingerprint", "x9_simhash", "x11_repetition_metrics",
+    "x12_decontamination", "x13_pii_scrub", "x15_split_assignment",
+    "v2_lsh_sign_buckets",
+]
+# v1_cosine_topk is deliberately absent: brute-force cosine IS an all-pairs
+# scored scan (the documented exactness baseline for v2/v4) — its plan is
+# asserted separately to be the acceptable form (broadcast probes, stream
+# the big side) rather than banned.
+
+
+@pytest.mark.parametrize("name", PLAN_SWEEP)
+def test_no_cartesian_and_no_rowwise_python(spark, sf_dir, name):
+    """No query may plan a CartesianProduct / BroadcastNestedLoopJoin
+    (all-pairs — dies at scale; even c7/c8's theta joins carry an equi
+    component precisely so they hash-join), and none may contain a
+    BatchEvalPython node (row-at-a-time Python UDF — the banned slow path;
+    ArrowEvalPython, the vectorized form, is allowed where used)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, (name, plan)
+    assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+    assert "BatchEvalPython" not in plan, (name, plan)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """b2's range predicate must reach the parquet reader as PushedFilters —
+    a plan that filters after a full scan reads 100 TB to return a slice."""
+    plan = _plan(spark, sf_dir, "b2_filter_range")
+    assert "PushedFilters:" in plan, plan
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters:" in line
+    ]
+    assert any(
+        "l_quantity" in line and ("GreaterThan" in line or "LessThan" in line)
+        for line in pushed
+    ), pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """b1 projects a handful of lineitem columns; ReadSchema must not carry
+    all 16 — unpruned scans are the difference between reading 2 columns
+    and reading 100 TB."""
+    plan = _plan(spark, sf_dir, "b1_project_cast")
+    read = [l for l in plan.splitlines() if "ReadSchema:" in l]
+    assert read, plan
+    assert "l_comment" not in read[0], read[0]
+
+
+def test_v1_bruteforce_streams_big_side(spark, sf_dir):
+    """v1's all-pairs scan is intentional (exactness baseline), but only in
+    the form that survives a big candidate side: the tiny probe set must be
+    the BROADCAST build side of the nested-loop join, so candidates stream
+    through one pass and never shuffle or build."""
+    plan = _plan(spark, sf_dir, "v1_cosine_topk")
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
+
+
+def test_small_dimensions_broadcast(spark, sf_dir):
+    """c2 joins lineitem against nation/region dims — both must plan as
+    BroadcastHashJoin (map-side, zero shuffle of the fact side); x12's
+    benchmark gram set likewise broadcasts against the corpus."""
+    assert _plan(spark, sf_dir, "c2_join_broadcast_dims").count(
+        "BroadcastHashJoin"
+    ) >= 2
+    assert "BroadcastHashJoin" in _plan(spark, sf_dir, "x12_decontamination")
