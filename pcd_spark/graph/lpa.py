@@ -93,14 +93,39 @@ def label_propagation(
     store: CheckpointStore | None = None,
     checkpoint_every: int = 5,
     stats_out: dict | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Returns DataFrame(vid: long, label: long) under the pinned rule."""
+    """Returns DataFrame(vid: long, label: long) under the pinned rule.
+
+    weight_col: weighted voting — a neighbor's label counts with the edge
+    weight instead of 1 (parallel edges SUM their weights in the canonical
+    form; the K8 dependency graph's weight = import count is the intended
+    input). Same tie rule (highest total weight, ties -> smallest label).
+    Weighted sums are doubles, so the encoded single-long argmax does not
+    apply; the portable struct-min fallback carries the rule instead."""
     # persist the (possibly derived) input once: referenced by the adaptive
     # sizing count and the symmetrize below
     edges = edges.persist()
     p = num_parts or adaptive_num_parts(edges)
 
-    sym = symmetrize(edges)
+    if weight_col is None:
+        sym = symmetrize(edges)
+    else:
+        canon = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+        sym = canon.unionByName(
+            canon.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
     if salt_buckets > 0:
         # deterministic salt from the source vertex: spreads a hub dst's
         # incoming messages across salt_buckets phase-1 reducers
@@ -125,7 +150,9 @@ def label_propagation(
         sym.groupBy("dst").agg(F.count("*").alias("d")).agg(F.max("d").alias("m")).first()
     )
     dmax = int(dmax_row["m"] or 1)
-    use_encoded = enc_k > 0 and (dmax + 1) * enc_k < _ENC_LIMIT
+    use_encoded = (
+        weight_col is None and enc_k > 0 and (dmax + 1) * enc_k < _ENC_LIMIT
+    )
 
     init = verts.select(
         "vid", F.col("vid").alias("label"), F.lit(1.0).alias("_delta")
@@ -136,19 +163,23 @@ def label_propagation(
         msgs = sym.hint("shuffle_hash").join(
             labels.withColumnRenamed("vid", "src"), "src"
         )
+        # unweighted messages never carry a weight column (8 fewer bytes on
+        # every one of the 2|E| shuffled rows — the hot path stays as-is)
+        vote = F.count("*") if weight_col is None else F.sum("w")
+        msg_cols = ["dst", "label"] + ([] if weight_col is None else ["w"])
         if salt_buckets > 0:
             partial = msgs.groupBy("dst", "salt", "label").agg(
-                F.count("*").alias("cnt")
+                vote.alias("cnt")
             )
             counts = partial.groupBy("dst", "label").agg(F.sum("cnt").alias("cnt"))
         else:
             # ONE wide shuffle; both aggs below are partition-local because
             # HashPartitioning(dst) satisfies their clustering requirements
             counts = (
-                msgs.select("dst", "label")
+                msgs.select(*msg_cols)
                 .repartition(p, "dst")
                 .groupBy("dst", "label")
-                .agg(F.count("*").alias("cnt"))
+                .agg(vote.alias("cnt"))
             )
         cnts = counts.withColumnRenamed("dst", "vid")
         best = (

@@ -1020,3 +1020,64 @@ def test_ktruss_empty_when_no_triangles(spark, graphs):
 
     g = graphs["path_100"]
     assert k_truss(edges_df(spark, g["edges"]), k=3).count() == 0
+
+
+# ---- K5 weighted voting ------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["karate", "er_200", "two_cliques"])
+def test_weighted_lpa_matches_pinned_numpy_oracle(spark, graphs, name):
+    """Weighted votes (integer weights so float ties are exact) must match
+    the weighted numpy oracle label-for-label."""
+    g = graphs[name]
+    wedges = [(u, v, float((u + v) % 3 + 1)) for u, v in g["edges"]]
+    df = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    got = {
+        r["vid"]: r["label"]
+        for r in label_propagation(df, max_iter=30, weight_col="weight").collect()
+    }
+    labels, _ = lpa_numpy(
+        g["n"],
+        np.array(g["edges"]),
+        max_iter=30,
+        weights=np.array([w for _, _, w in wedges]),
+    )
+    G = _nx_graph(g, False)
+    want = {v: int(labels[v]) for v in range(g["n"]) if G.degree(v) > 0}
+    assert got == want
+
+
+def test_weighted_lpa_heavy_edge_overrides_majority(spark):
+    """A star center with one weight-10 edge to leaf 3 and weight-1 edges to
+    leaves 1,2,4: unweighted voting gives the center label 1 (smallest among
+    equals); weighted voting must give it leaf 3's label."""
+    rows = [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 10.0), (0, 4, 1.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    got_w = {
+        r["vid"]: r["label"]
+        for r in label_propagation(df, max_iter=1, weight_col="weight").collect()
+    }
+    got_u = {
+        r["vid"]: r["label"]
+        for r in label_propagation(df, max_iter=1).collect()
+    }
+    assert got_w[0] == 3
+    assert got_u[0] == 1
+
+
+def test_weighted_lpa_uniform_weights_equal_unweighted(spark, graphs):
+    """weight=1 everywhere must reproduce the unweighted result exactly
+    (the struct-min fallback and the encoded hot path agree)."""
+    g = graphs["karate"]
+    df = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in g["edges"]], "src long, dst long, weight double"
+    )
+    got_w = {
+        r["vid"]: r["label"]
+        for r in label_propagation(df, max_iter=30, weight_col="weight").collect()
+    }
+    got_u = {
+        r["vid"]: r["label"]
+        for r in label_propagation(df.select("src", "dst"), max_iter=30).collect()
+    }
+    assert got_w == got_u
