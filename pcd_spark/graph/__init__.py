@@ -31,3 +31,4 @@ from pcd_spark.graph.hyperball import (  # noqa: F401
 )
 from pcd_spark.graph.betweenness import betweenness_centrality  # noqa: F401
 from pcd_spark.graph.truss import k_truss  # noqa: F401
+from pcd_spark.graph.eigen import eigenvector_centrality  # noqa: F401

@@ -65,7 +65,7 @@ _PRIORITY = [
     "k15_hits", "k16_link_prediction", "k17_assortativity",
     "k18_random_walks", "k19_neighbor_features", "k20_scc",
     "k21_hyperball", "k22_harmonic_centrality", "k23_betweenness",
-    "k24_ktruss",
+    "k24_ktruss", "k25_eigenvector",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -620,3 +620,23 @@ def k24(spark, sf):
         .orderBy(F.desc("sup"), F.asc("src"), F.asc("dst"))
         .limit(100)
     )
+
+
+@g("k25_eigenvector", None)  # iterative power method; nx-pinned in pytest
+def k25(spark, sf):
+    """K25: eigenvector centrality top-50 on the bounded part co-occurrence
+    graph (non-bipartite — it has triangles — so the power method is
+    well-posed; the bipartite customer-supplier graph belongs to K15 HITS
+    instead, see graph/eigen.py). Deterministic uniform start; exactness vs
+    networkx.eigenvector_centrality is pinned in tests/test_graph_algos.py."""
+    from pcd_spark.graph import eigenvector_centrality
+
+    e = part_cooccurrence_edges(spark, sf).filter(
+        (F.col("src") < 2000) & (F.col("dst") < 2000)
+    )
+    return (
+        eigenvector_centrality(e, tol=1e-9)
+        .select("vid", F.round("centrality", 7).alias("centrality"))
+        .orderBy(F.desc("centrality"), F.asc("vid"))
+        .limit(50)
+    )

@@ -1081,3 +1081,42 @@ def test_weighted_lpa_uniform_weights_equal_unweighted(spark, graphs):
         for r in label_propagation(df.select("src", "dst"), max_iter=30).collect()
     }
     assert got_w == got_u
+
+
+# ---- K25 eigenvector centrality ----------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["karate", "er_200"])
+def test_eigenvector_centrality_matches_networkx(spark, graphs, name):
+    """Power iteration to the principal eigenvector, L2-normalized —
+    allclose 1e-6 vs networkx on non-bipartite fixtures."""
+    from pcd_spark.graph import eigenvector_centrality
+
+    g = graphs[name]
+    G = nx.Graph(g["edges"])
+    got = {
+        r["vid"]: r["centrality"]
+        for r in eigenvector_centrality(
+            edges_df(spark, g["edges"]), tol=1e-10
+        ).collect()
+    }
+    want = nx.eigenvector_centrality(G, max_iter=2000, tol=1e-12)
+    assert set(got) == {v for v in G.nodes() if G.degree(v) > 0}
+    for v in got:
+        assert abs(got[v] - want[v]) < 1e-6, (name, v, got[v], want[v])
+
+
+def test_eigenvector_centrality_wheel_hub_first(spark):
+    """Wheel graph (non-bipartite): the hub must dominate, and the rim must
+    be symmetric (equal centralities)."""
+    from pcd_spark.graph import eigenvector_centrality
+
+    W = nx.wheel_graph(12)  # vertex 0 = hub
+    e = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in W.edges()], "src long, dst long"
+    )
+    got = {r["vid"]: r["centrality"] for r in
+           eigenvector_centrality(e, tol=1e-12).collect()}
+    assert got[0] == max(got.values())
+    rim = [got[v] for v in range(1, 12)]
+    assert max(rim) - min(rim) < 1e-9
