@@ -194,7 +194,7 @@ _LABELS_SQL = f"""
                 UNION ALL SELECT dst, src FROM edges),
         deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
         lab AS ({_LABELS_SQL}),
-        dc AS (SELECT l.community, SUM(d.deg) AS degree_sum
+        dc AS (SELECT l.community, CAST(SUM(d.deg) AS BIGINT) AS degree_sum
                FROM deg d JOIN lab l ON d.vid = l.vid GROUP BY l.community),
         lc AS (SELECT la.community, COUNT(*) AS intra_edges
                FROM edges e JOIN lab la ON e.src = la.vid
