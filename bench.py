@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "v5_kmeans_clusters",
     "x14_dedup_keep_best",
     "k22_harmonic_centrality",
+    "k26_bipartite_projection",
+    "k28_butterflies",
 ]
 
 

@@ -13,7 +13,12 @@ from pcd_spark.graph.quality import (  # noqa: F401
     modularity,
     modularity_terms,
 )
-from pcd_spark.graph.kcore import k_core  # noqa: F401
+from pcd_spark.graph.kcore import coreness, k_core  # noqa: F401
+from pcd_spark.graph.bipartite import (  # noqa: F401
+    bipartite_projection,
+    butterfly_counts,
+    butterfly_total,
+)
 from pcd_spark.graph.louvain import louvain  # noqa: F401
 from pcd_spark.graph.sssp import shortest_paths  # noqa: F401
 from pcd_spark.graph.hits import hits  # noqa: F401
@@ -32,3 +37,4 @@ from pcd_spark.graph.hyperball import (  # noqa: F401
 from pcd_spark.graph.betweenness import betweenness_centrality  # noqa: F401
 from pcd_spark.graph.truss import k_truss  # noqa: F401
 from pcd_spark.graph.eigen import eigenvector_centrality  # noqa: F401
+from pcd_spark.graph.mis import maximal_independent_set  # noqa: F401

@@ -1,4 +1,4 @@
-"""K10 — k-core extraction (extension beyond the SURVEY §2 core).
+"""K10 — k-core extraction; K27 — full core decomposition (round 2 ext.).
 
 The k-core is the maximal subgraph in which every vertex has degree >= k
 [PUB: Seidman 1983, "Network structure and minimum degree"]. Standard
@@ -93,3 +93,81 @@ def k_core(
     return final.filter(F.col("deg") >= k).select(
         "vid", F.col("deg").alias("core_deg")
     )
+
+
+def coreness(
+    edges: DataFrame,
+    max_iter: int = 100,
+    num_parts: int | None = None,
+    store: CheckpointStore | None = None,
+    checkpoint_every: int = 10,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """K27: core number of EVERY vertex — (vid: long, core: long) — in one
+    run, where K10 answers membership for a single k.
+
+    Algorithm: iterated neighborhood h-index [PUB: Lü, Zhou, Zhang &
+    Stanley 2016, "The H-index of a network node and its relation to
+    degree and coreness", Nat. Commun. 7:10168]. State h(v) starts at
+    deg(v); each superstep replaces it with the h-index of the neighbors'
+    current values (the largest h such that >= h neighbors have value
+    >= h). The sequence is monotonically non-increasing and provably
+    converges to the core number on every finite graph — synchronous
+    supersteps therefore reproduce the sequential peeling result exactly,
+    with no vertex-removal ordering to coordinate across partitions.
+
+    Plan shape per superstep: ONE vid-keyed shuffle. The h-index needs the
+    neighbor multiset ranked, so the reduction is a per-vid window
+    (row_number over nh desc) + hash-agg max(least(rank, nh)) — heavier
+    than a plain sum but still fully JVM-side codegen, and the window key
+    is the superstep partition key, so ranking rides the same exchange as
+    the aggregation. Skew note: a hub's neighborhood ranks on one reducer;
+    values are bounded by its degree, and AQE skew-split applies — same
+    exposure as CC's pointer-jump, documented there.
+    """
+    from pyspark.sql import Window
+
+    edges = edges.persist()
+    p = num_parts or adaptive_num_parts(edges)
+
+    sym = symmetrize(edges).repartition(p, "src").persist()
+    sym.count()
+
+    init = (
+        sym.groupBy(F.col("src").alias("vid"))
+        .agg(F.count("*").cast("long").alias("h"))
+        .select("vid", "h", F.lit(1.0).alias("_delta"))
+    )
+
+    w = Window.partitionBy("vid").orderBy(F.desc("nh"), F.asc("dst"))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        nbr_h = sym.join(
+            state.select(F.col("vid").alias("dst"), F.col("h").alias("nh"))
+            .hint("shuffle_hash"),
+            "dst",
+        ).select(F.col("src").alias("vid"), "dst", "nh")
+        hnew = (
+            nbr_h.repartition(p, "vid")
+            .withColumn("rk", F.row_number().over(w))
+            .groupBy("vid")
+            .agg(F.max(F.least(F.col("rk"), F.col("nh"))).alias("h2"))
+        )
+        return hnew.join(
+            state.select("vid", F.col("h").alias("_old")).hint("shuffle_hash"),
+            "vid",
+        ).select(
+            "vid",
+            F.col("h2").cast("long").alias("h"),
+            (F.col("h2") != F.col("_old")).cast("double").alias("_delta"),
+        )
+
+    final, iters, metrics = run_supersteps(
+        init, step, tol=0.5, max_iter=max_iter,
+        store=store, checkpoint_every=checkpoint_every,
+    )
+    if stats_out is not None:
+        stats_out["iterations"] = iters
+        stats_out["metrics"] = metrics
+    edges.unpersist()
+    return final.select("vid", F.col("h").alias("core"))

@@ -455,7 +455,10 @@ _EMB_STAR_SQL = """
                            COUNT(*) AS c
                     FROM x GROUP BY vid, pos)
         SELECT vid, MAX(c) AS n_neighbors,
-               LIST(v ORDER BY pos) AS agg_emb
+               ARRAY_TO_STRING(
+                 LIST_TRANSFORM(LIST(v ORDER BY pos),
+                                u -> CAST(ROUND(u * 1000000) AS BIGINT)),
+                 ',') AS agg_emb
         FROM per_dim GROUP BY vid""",
 )
 def k19(spark, sf):
@@ -482,8 +485,22 @@ def k19(spark, sf):
         .filter(F.col("src") != F.col("vec_id"))
         .select("src", F.col("vec_id").alias("dst"))
     )
-    return neighbor_feature_agg(
+    agg = neighbor_feature_agg(
         star, e, id_col="vec_id", vec_col="emb", agg="mean", round_to=8
+    )
+    # Driver-canonicalizer hazard: array<double> cells are unhashable in the
+    # harness's pandas sort (the round-1 d8 failure mode). Scalarize to exact
+    # integer micro-units joined as a string — lossless at the 8-dp rounding
+    # already applied, and engine-portable (no float-to-string formatting).
+    return agg.withColumn(
+        "agg_emb",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "agg_emb",
+                lambda v: F.round(v * 1e6).cast("long").cast("string"),
+            ),
+        ),
     )
 
 
@@ -640,3 +657,84 @@ def k25(spark, sf):
         .orderBy(F.desc("centrality"), F.asc("vid"))
         .limit(50)
     )
+
+
+_PROJ_PAIRS_SQL = f"""
+  edges AS ({_CS_EDGES_SQL}),
+  pairs AS (SELECT a.dst AS u, b.dst AS v, COUNT(*) AS weight
+            FROM edges a JOIN edges b
+              ON a.src = b.src AND a.dst < b.dst
+            GROUP BY a.dst, b.dst)
+"""
+
+
+@g(
+    "k26_bipartite_projection",
+    f"""WITH {_PROJ_PAIRS_SQL}
+        SELECT u, v, weight FROM pairs WHERE weight >= 2""",
+)
+def k26(spark, sf):
+    """K26: weighted one-mode projection of the bipartite customer-supplier
+    graph onto SUPPLIERS — edge (u, v, weight) for supplier pairs sharing
+    >= 2 customers. Centers are the CUSTOMERS (the many-but-low-degree
+    side), so the pair join fans out per customer basket, never per
+    supplier hub — the choice that keeps sum_c deg(c)^2 linear-ish at
+    10^12 corpus scale. This is how a bipartite corpus becomes a
+    unipartite graph the K-suite runs on (co-purchase / co-citation)."""
+    from pcd_spark.graph import bipartite_projection
+
+    return bipartite_projection(cust_supp_edges(spark, sf), min_weight=2)
+
+
+@g(
+    "k28_butterflies",
+    f"""WITH {_PROJ_PAIRS_SQL},
+        per_pair AS (SELECT u, v,
+                            CAST(weight * (weight - 1) / 2 AS BIGINT) AS bf
+                     FROM pairs WHERE weight >= 2)
+        SELECT vid, CAST(SUM(bf) AS BIGINT) AS butterflies FROM (
+          SELECT u AS vid, bf FROM per_pair
+          UNION ALL SELECT v AS vid, bf FROM per_pair)
+        GROUP BY vid""",
+)
+def k28(spark, sf):
+    """K28: per-supplier butterfly (2x2 biclique) counts on the bipartite
+    customer-supplier graph — the bipartite analogue of K6's triangles
+    (this graph provably has none) and the base motif of bipartite
+    clustering. One arithmetic column + explode-agg over K26's projection
+    weights: butterflies(v) = sum_u C(shared_customers(u, v), 2)."""
+    from pcd_spark.graph import butterfly_counts
+
+    return butterfly_counts(cust_supp_edges(spark, sf))
+
+
+@g("k27_coreness", None)  # iterative h-index fixpoint; nx-pinned in pytest
+def k27(spark, sf):
+    """K27: full core decomposition of the part co-occurrence graph — the
+    core number of EVERY vertex in one run (K10 answers membership for a
+    single k). Iterated neighborhood h-index [PUB: Lü et al. 2016], which
+    provably converges to the exact peeling result with no removal order
+    to coordinate; exactness vs networkx.core_number is pinned in
+    tests/test_bipartite.py. Output ordered densest-core first."""
+    from pcd_spark.graph import coreness
+
+    return (
+        coreness(part_cooccurrence_edges(spark, sf))
+        .orderBy(F.desc("core"), F.asc("vid"))
+    )
+
+
+@g("k29_mis", None)  # iterative symmetry-breaking; property-pinned in pytest
+def k29(spark, sf):
+    """K29: deterministic Luby maximal independent set on the bounded part
+    co-occurrence graph — the symmetry-breaking primitive (schedule sets of
+    non-adjacent vertices). Hash-random priorities make it reproducible at
+    any parallelism; independence + maximality + partition-invariance are
+    property-pinned in tests/test_bipartite.py (rows-only driver check:
+    the per-round priority is xxhash64, which DuckDB cannot evaluate)."""
+    from pcd_spark.graph import maximal_independent_set
+
+    e = part_cooccurrence_edges(spark, sf).filter(
+        (F.col("src") < 2000) & (F.col("dst") < 2000)
+    )
+    return maximal_independent_set(e).orderBy("vid")

@@ -932,8 +932,9 @@ def x10(spark, sf):
                  ROW_NUMBER() OVER (PARTITION BY cluster
                                     ORDER BY n_chars DESC, doc_id) AS rn,
                  COUNT(*) OVER (PARTITION BY cluster) AS n_members,
-                 SUM(n_chars) OVER (PARTITION BY cluster)
-                   - MAX(n_chars) OVER (PARTITION BY cluster) AS chars_removed
+                 CAST(SUM(n_chars) OVER (PARTITION BY cluster)
+                   - MAX(n_chars) OVER (PARTITION BY cluster)
+                      AS BIGINT) AS chars_removed
           FROM alldocs) WHERE rn = 1""",
 )
 def x14(spark, sf):
@@ -1016,4 +1017,73 @@ def x15(spark, sf):
         .when(h2 < "f3", "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+_X16_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+ch AS (SELECT doc_id,
+              md5(array_to_string(
+                list_slice(words, (i - 1) * 8 + 1, (i - 1) * 8 + 8), ' '))
+                AS chunk_md5
+       FROM d, UNNEST(generate_series(
+                 1, CAST(FLOOR(len(words) / 8.0) AS BIGINT))) t(i)),
+occ AS (SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd
+        FROM ch GROUP BY chunk_md5)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS shared_frac
+FROM ch JOIN occ USING (chunk_md5)
+GROUP BY doc_id
+"""
+
+
+@qt("x16_cross_doc_chunks", _X16_SQL)
+def x16(spark, sf):
+    # CROSS-document chunk dedup signal [PUB: Penedo et al. 2023 RefinedWeb
+    # line-level dedup; Lee et al. 2022 "Deduplicating Training Data ..."]:
+    # split each doc into disjoint 8-word chunks, hash them, and report per
+    # doc what fraction of its chunks also occur in ANOTHER doc — the
+    # partial-overlap signal that whole-doc dedup (x1) misses and within-doc
+    # repetition (x11) does not look for; a pipeline drops or trims docs
+    # above a shared_frac threshold. Scale shape: only (chunk_md5, doc_id)
+    # pairs ever shuffle — the digest is computed scan-side and the text
+    # never leaves its partition; chunk frequency is a hash-agg with
+    # map-side combine, so a 100 TB corpus streams through. Disjoint
+    # (stride = width) chunks keep the blow-up factor at 1x the corpus,
+    # where sliding shingles would be 8x.
+    CH = 8
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= CH)
+    )
+    n_chunks = F.floor(F.size("words") / CH).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("words", (i - 1) * CH + 1, CH))
+                ),
+            )
+        ).alias("chunk_md5"),
+    )
+    occ = chunks.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    shared = (F.col("nd") > 1).cast("long")
+    return (
+        chunks.join(occ, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(shared).alias("n_shared_chunks"),
+            F.round(F.sum(shared) / F.count("*"), 6).alias("shared_frac"),
+        )
     )

@@ -23,7 +23,8 @@ def main() -> None:
                     choices=["pagerank", "cc", "lpa", "triangles", "kcore",
                              "modularity", "lcc", "sssp", "louvain", "hits",
                              "scc", "hyperball", "harmonic", "betweenness",
-                             "ktruss"])
+                             "ktruss", "coreness", "mis", "projection",
+                             "butterflies"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -41,6 +42,10 @@ def main() -> None:
 
     from pcd_spark.graph import (
         betweenness_centrality,
+        bipartite_projection,
+        butterfly_counts,
+        coreness,
+        maximal_independent_set,
         connected_components,
         harmonic_centrality,
         hits,
@@ -112,6 +117,17 @@ def main() -> None:
     elif args.algo == "ktruss":
         res = k_truss(edges, k=args.k, max_iter=args.max_iter,
                       stats_out=stats)
+    elif args.algo == "coreness":
+        res = coreness(edges, max_iter=args.max_iter, store=store,
+                       stats_out=stats)
+    elif args.algo == "mis":
+        res = maximal_independent_set(edges, max_iter=args.max_iter,
+                                      store=store, stats_out=stats)
+    elif args.algo == "projection":
+        # input treated as bipartite (src = center, dst = side)
+        res = bipartite_projection(edges)
+    elif args.algo == "butterflies":
+        res = butterfly_counts(edges)
     else:
         res = triangle_counts(edges)
 

@@ -49,6 +49,7 @@ PLAN_SWEEP = [
     "x8_fingerprint", "x9_simhash", "x11_repetition_metrics",
     "x12_decontamination", "x13_pii_scrub", "x15_split_assignment",
     "v2_lsh_sign_buckets",
+    "k26_bipartite_projection", "k28_butterflies",
 ]
 # v1_cosine_topk is deliberately absent: brute-force cosine IS an all-pairs
 # scored scan (the documented exactness baseline for v2/v4) — its plan is
