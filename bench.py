@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "k22_harmonic_centrality",
     "k26_bipartite_projection",
     "k28_butterflies",
+    "x17_sequence_packing",
 ]
 
 

@@ -13,11 +13,12 @@ _ALL: dict = {**_CORE, **_TEXT, **_GRAPH}
 # entries); they just don't consume driver-window slots that families with
 # no other driver row need.
 # Window policy (round 2): entries whose code is UNCHANGED since their green
-# round-1 driver row (b2/b3, c2/c3/c7/c8, d2/d3/d4, e3/e5, h7/h8, x5) vacate
-# slots for the round-2 operators that have SQL oracles but have never had a
-# driver row (i3, i8, v4, x11-x15, k11, k12, k16, k17, k19, k20). Every
-# family keeps at least one in-window representative; the changed-this-round
-# queries (d8, x4, k9, k19) are all in-window so their fixes get re-verified.
+# round-1 driver row (b2/b3, c2/c3/c7/c8, d2-d4, d9/d10, e3/e5, h7/h8,
+# x5/x6/x7) vacate slots for the round-2 operators that have SQL oracles but
+# have never had a driver row (i3, i8, v4, x11-x17, k11, k12, k16, k17, k19,
+# k20, k26, k28). Every family keeps at least one in-window representative;
+# the changed-this-round queries (d8, x4, k9, k19) are all in-window so
+# their fixes get re-verified.
 _PRIORITY = [
     # B. projection / filters (b2..b5 -> round-1 green, pytest mirror)
     "b1_project_cast",
@@ -41,10 +42,10 @@ _PRIORITY = [
     # X. dedup / text analysis / data quality (x5/x8 -> pytest mirror; x10 is
     # the composite LSH -> connected-components dedup-clustering showcase)
     "x1_dedup_exact", "x2_minhash_signature", "x3_minhash_lsh_buckets",
-    "x4_ngram_jaccard_pairs", "x6_quality_score",
+    "x4_ngram_jaccard_pairs",
     "x9_simhash", "x10_neardup_clusters", "x11_repetition_metrics",
     "x12_decontamination", "x13_pii_scrub", "x14_dedup_keep_best",
-    "x15_split_assignment", "x16_cross_doc_chunks",
+    "x15_split_assignment", "x16_cross_doc_chunks", "x17_sequence_packing",
     # V. similarity search
     "v1_cosine_topk", "v2_lsh_sign_buckets", "v3_embedding_neardup",
     "v4_ivf_topk",
@@ -70,14 +71,15 @@ _PRIORITY = [
     "g2_intersect", "g3_except", "h3_string_basics", "h5_date_functions",
     "h6_math", "h7_array_functions", "h8_higher_order_dot",
     "i2_tumbling_window_batch",
-    "m2_blob_features", "x5_token_count", "x7_langid_heuristic",
-    "x8_fingerprint",
+    "m2_blob_features", "x5_token_count", "x6_quality_score",
+    "x7_langid_heuristic", "x8_fingerprint",
     "v5_kmeans_clusters",
     "k3_pagerank_top20", "k5_lpa_community_sizes", "k8_corpus_pipeline",
     "k10_kcore", "k13_louvain_communities", "k14_ppr_top20",
     "k15_hits", "k18_random_walks",
     "k21_hyperball", "k22_harmonic_centrality", "k23_betweenness",
     "k24_ktruss", "k25_eigenvector", "k27_coreness", "k29_mis",
+    "k30_coloring",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -738,3 +738,18 @@ def k29(spark, sf):
         (F.col("src") < 2000) & (F.col("dst") < 2000)
     )
     return maximal_independent_set(e).orderBy("vid")
+
+
+@g("k30_coloring", None)  # iterative JP schedule; property-pinned in pytest
+def k30(spark, sf):
+    """K30: deterministic Jones-Plassmann greedy coloring of the bounded
+    part co-occurrence graph — proper coloring (no monochromatic edge),
+    color(v) <= deg(v), reproducible at any parallelism via hash
+    priorities. Property-pinned in tests/test_bipartite.py (rows-only
+    driver check: the priority is xxhash64, not SQL-expressible)."""
+    from pcd_spark.graph import greedy_coloring
+
+    e = part_cooccurrence_edges(spark, sf).filter(
+        (F.col("src") < 2000) & (F.col("dst") < 2000)
+    )
+    return greedy_coloring(e).orderBy("vid")

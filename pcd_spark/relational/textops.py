@@ -1087,3 +1087,74 @@ def x16(spark, sf):
             F.round(F.sum(shared) / F.count("*"), 6).alias("shared_frac"),
         )
     )
+
+
+_X17_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents WHERE LENGTH(text) > 0),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM d)
+SELECT doc_id, bucket, n_tokens,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(FLOOR(start_tok / 256.0) AS BIGINT) AS first_chunk,
+       CAST(FLOOR((start_tok + n_tokens - 1) / 256.0) AS BIGINT) AS last_chunk
+FROM c
+"""
+
+
+@qt("x17_sequence_packing", _X17_SQL)
+def x17(spark, sf):
+    # SEQUENCE PACKING, concat-and-chunk — the step between curation and
+    # the trainer: documents are concatenated in a deterministic shuffled
+    # order and sliced into fixed 256-token context chunks; each doc's
+    # output row says which chunks it lands in (a doc may straddle a chunk
+    # boundary — that IS the standard pretraining packing; padding-free
+    # "first-fit" variants trade this simplicity for fragmentation
+    # bookkeeping). Two design choices carry it to 10^12 docs:
+    #   1. the pack ORDER is md5(doc_id) — a deterministic shuffle that
+    #      decorrelates adjacent source docs, reproducible in any engine
+    #      (same x15 portability argument), no RNG state;
+    #   2. packing streams are per-BUCKET (md5 first hex char, 16 streams):
+    #      the cumulative sum windows over each bucket independently, so
+    #      there is no global sort and no sequential scan — buckets are the
+    #      unit of parallelism, and widening to 256/4096 buckets is a
+    #      substring change.
+    from pyspark.sql import Window
+
+    d = (
+        load(spark, sf, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
+                "bucket"
+            ),
+            F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    c = d.select("doc_id", "bucket", "n_tokens", start.alias("start_tok"))
+    return c.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.floor(F.col("start_tok") / 256).cast("long").alias("first_chunk"),
+        F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / 256)
+        .cast("long")
+        .alias("last_chunk"),
+    )

@@ -24,7 +24,7 @@ def main() -> None:
                              "modularity", "lcc", "sssp", "louvain", "hits",
                              "scc", "hyperball", "harmonic", "betweenness",
                              "ktruss", "coreness", "mis", "projection",
-                             "butterflies"])
+                             "butterflies", "coloring"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -45,6 +45,7 @@ def main() -> None:
         bipartite_projection,
         butterfly_counts,
         coreness,
+        greedy_coloring,
         maximal_independent_set,
         connected_components,
         harmonic_centrality,
@@ -128,6 +129,9 @@ def main() -> None:
         res = bipartite_projection(edges)
     elif args.algo == "butterflies":
         res = butterfly_counts(edges)
+    elif args.algo == "coloring":
+        res = greedy_coloring(edges, max_iter=args.max_iter, store=store,
+                              stats_out=stats)
     else:
         res = triangle_counts(edges)
 

@@ -184,3 +184,39 @@ def test_mis_partition_invariant(spark, graphs):
     b = {r["vid"]: r["in_mis"]
          for r in maximal_independent_set(e, num_parts=16).collect()}
     assert a == b
+
+
+# ---------- K30: greedy coloring (Jones-Plassmann) ----------------------------
+
+
+@pytest.mark.parametrize("name", ["karate", "er_200", "two_cliques", "star_1001"])
+def test_coloring_proper_and_bounded(spark, graphs, name):
+    from pcd_spark.graph import greedy_coloring
+
+    g = graphs[name]
+    col = {
+        r["vid"]: r["color"]
+        for r in greedy_coloring(edges_df(spark, g["edges"])).collect()
+    }
+    deg: dict[int, int] = {}
+    for u, v in g["edges"]:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    # proper: no monochromatic edge; greedy bound: color(v) <= deg(v)
+    assert all(col[u] != col[v] for u, v in g["edges"])
+    assert all(c <= deg[v] for v, c in col.items())
+    # a clique needs exactly its size in colors (two_cliques -> >= 10)
+    if name == "two_cliques":
+        assert len(set(col.values())) >= 10
+
+
+def test_coloring_partition_invariant(spark, graphs):
+    from pcd_spark.graph import greedy_coloring
+
+    g = graphs["er_200"]
+    e = edges_df(spark, g["edges"])
+    a = {r["vid"]: r["color"]
+         for r in greedy_coloring(e, num_parts=1).collect()}
+    b = {r["vid"]: r["color"]
+         for r in greedy_coloring(e, num_parts=16).collect()}
+    assert a == b

@@ -50,6 +50,7 @@ PLAN_SWEEP = [
     "x12_decontamination", "x13_pii_scrub", "x15_split_assignment",
     "v2_lsh_sign_buckets",
     "k26_bipartite_projection", "k28_butterflies",
+    "x16_cross_doc_chunks", "x17_sequence_packing",
 ]
 # v1_cosine_topk is deliberately absent: brute-force cosine IS an all-pairs
 # scored scan (the documented exactness baseline for v2/v4) — its plan is
