@@ -46,7 +46,13 @@ def bipartite_projection(
     Exact for max_center_degree=None; with a cap, pairs certified only by
     centers of degree > cap are dropped (documented per call site).
     """
-    e = edges.select("src", "dst").distinct()
+    # persist the deduped bipartite edges: both sides of the center-keyed
+    # pair join (and the optional degree filter) reference them — callers
+    # routinely pass a DERIVED table (e.g. the lineitem ⋈ orders customer-
+    # supplier graph), and an unpersisted plan re-runs that derivation once
+    # per branch (measured: 7 exchanges -> 4 at sf0.1, same output)
+    e = edges.select("src", "dst").distinct().persist()
+    e.count()
     if max_center_degree is not None:
         cdeg = e.groupBy("src").agg(F.count("*").alias("_cd"))
         e = (
