@@ -129,3 +129,69 @@ def local_clustering(edges: DataFrame) -> DataFrame:
             8,
         ).alias("lcc"),
     )
+
+
+def conductance_terms(
+    edges: DataFrame,
+    labels: DataFrame,
+    label_col: str = "label",
+    round_to: int | None = 8,
+) -> DataFrame:
+    """K31: per-community conductance over the canonical undirected form of
+    `edges` [PUB: Kannan, Vempala & Vetta 2004; Leskovec et al. 2009 "NCP
+    plots"] — the boundary-quality complement to modularity (K9): a
+    community can score high Q yet leak badly; conductance measures the
+    leak directly.
+
+        phi(S) = cut(S) / min(vol(S), 2m - vol(S))
+
+    cut(S) = edges with exactly one endpoint in S, vol(S) = sum of degrees
+    of S's members. Pinned semantics (mirrored exactly in the SQL oracle):
+    only edges with BOTH endpoints labeled participate (inner-join rule,
+    same as modularity_terms); degrees and m are computed over that labeled
+    subgraph; phi = 0.0 when the denominator is 0 (a community that is the
+    whole graph, or all-isolated members).
+
+    Returns (community, cut_edges, volume, phi). Closed-form: two vid-keyed
+    label joins + two hash-aggs — no iteration, O(#communities) agg state.
+    """
+    canon = canonical_undirected(edges)
+    lab = labels.select("vid", F.col(label_col).alias("community"))
+    lb = (
+        canon.join(
+            lab.select(F.col("vid").alias("src"), F.col("community").alias("ca")),
+            "src",
+        )
+        .join(
+            lab.select(F.col("vid").alias("dst"), F.col("community").alias("cb")),
+            "dst",
+        )
+        .persist()
+    )
+    m = lb.count()
+    # volume: degrees within the labeled subgraph, summed per community
+    vol = (
+        lb.select(F.col("ca").alias("community"))
+        .unionByName(lb.select(F.col("cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count("*").alias("volume"))
+    )
+    cut = (
+        lb.filter(F.col("ca") != F.col("cb"))
+        .select(F.explode(F.array("ca", "cb")).alias("community"))
+        .groupBy("community")
+        .agg(F.count("*").alias("cut_edges"))
+    )
+    denom = F.least(F.col("volume"), F.lit(2 * m) - F.col("volume"))
+    phi = F.when(
+        denom > 0,
+        F.coalesce("cut_edges", F.lit(0)).cast("double") / denom,
+    ).otherwise(0.0)
+    if round_to is not None:
+        phi = F.round(phi, round_to)
+    return vol.join(cut, "community", "left").select(
+        "community",
+        F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
+        "volume",
+        phi.alias("phi"),
+    )

@@ -16,7 +16,8 @@ _ALL: dict = {**_CORE, **_TEXT, **_GRAPH}
 # round-1 driver row (b2/b3, c2/c3/c7/c8, d2-d4, d9/d10, e3/e5, h7/h8,
 # x5/x6/x7) vacate slots for the round-2 operators that have SQL oracles but
 # have never had a driver row (i3, i8, v4, x11-x17, k11, k12, k16, k17, k19,
-# k20, k26, k28). Every family keeps at least one in-window representative;
+# k20, k26, k28, k31, x18). Every family keeps at least one in-window
+# representative;
 # the changed-this-round queries (d8, x4, k9, k19) are all in-window so
 # their fixes get re-verified.
 _PRIORITY = [
@@ -33,7 +34,7 @@ _PRIORITY = [
     # G. set ops (intersect/except -> pytest mirror)
     "g1_union",
     # H. scalar function families (string/date/math/array -> pytest mirror)
-    "h1_sha256", "h2_regexp_extract_all", "h9_map_functions", "h10_json",
+    "h1_sha256", "h2_regexp_extract_all", "h9_map_functions",
     # I. streaming batch twins
     "i3_sliding_window_batch", "i4_session_window_batch",
     "i8_distinct_users_batch",
@@ -41,11 +42,12 @@ _PRIORITY = [
     "j2_blob_digest", "j3_scalar_pandas_udf",
     # X. dedup / text analysis / data quality (x5/x8 -> pytest mirror; x10 is
     # the composite LSH -> connected-components dedup-clustering showcase)
-    "x1_dedup_exact", "x2_minhash_signature", "x3_minhash_lsh_buckets",
+    "x1_dedup_exact", "x2_minhash_signature",
     "x4_ngram_jaccard_pairs",
     "x9_simhash", "x10_neardup_clusters", "x11_repetition_metrics",
     "x12_decontamination", "x13_pii_scrub", "x14_dedup_keep_best",
     "x15_split_assignment", "x16_cross_doc_chunks", "x17_sequence_packing",
+    "x18_quality_downsample",
     # V. similarity search
     "v1_cosine_topk", "v2_lsh_sign_buckets", "v3_embedding_neardup",
     "v4_ivf_topk",
@@ -56,7 +58,7 @@ _PRIORITY = [
     "k1_degrees", "k4_connected_components", "k6_triangles", "k9_modularity",
     "k11_clustering_coefficient", "k12_bfs_distances", "k16_link_prediction",
     "k17_assortativity", "k19_neighbor_features", "k20_scc",
-    "k26_bipartite_projection", "k28_butterflies",
+    "k26_bipartite_projection", "k28_butterflies", "k31_conductance",
     # ---- position 51+: registered, pytest-oracled, outside driver window ----
     "d9_rollup", "d10_grouped_pandas_udaf",
     "b2_filter_range", "b3_filter_in_null_like",
@@ -70,8 +72,8 @@ _PRIORITY = [
     "e6_ntile_percent_rank",
     "g2_intersect", "g3_except", "h3_string_basics", "h5_date_functions",
     "h6_math", "h7_array_functions", "h8_higher_order_dot",
-    "i2_tumbling_window_batch",
-    "m2_blob_features", "x5_token_count", "x6_quality_score",
+    "h10_json", "i2_tumbling_window_batch",
+    "m2_blob_features", "x3_minhash_lsh_buckets", "x5_token_count", "x6_quality_score",
     "x7_langid_heuristic", "x8_fingerprint",
     "v5_kmeans_clusters",
     "k3_pagerank_top20", "k5_lpa_community_sizes", "k8_corpus_pipeline",

@@ -753,3 +753,45 @@ def k30(spark, sf):
         (F.col("src") < 2000) & (F.col("dst") < 2000)
     )
     return greedy_coloring(e).orderBy("vid")
+
+
+@g(
+    "k31_conductance",
+    f"""WITH edges AS ({_CS_EDGES_SQL}),
+        lab AS ({_LABELS_SQL}),
+        lb AS (SELECT la.community AS ca, lb2.community AS cb
+               FROM edges e JOIN lab la ON e.src = la.vid
+                            JOIN lab lb2 ON e.dst = lb2.vid),
+        m AS (SELECT COUNT(*) AS m FROM lb),
+        vol AS (SELECT community, COUNT(*) AS volume FROM (
+                  SELECT ca AS community FROM lb
+                  UNION ALL SELECT cb FROM lb)
+                GROUP BY community),
+        cut AS (SELECT community, COUNT(*) AS cut_edges FROM (
+                  SELECT ca AS community FROM lb WHERE ca <> cb
+                  UNION ALL SELECT cb FROM lb WHERE ca <> cb)
+                GROUP BY community)
+        SELECT v.community, COALESCE(c.cut_edges, 0) AS cut_edges, v.volume,
+               ROUND(CASE WHEN LEAST(v.volume, 2 * m.m - v.volume) > 0
+                     THEN COALESCE(c.cut_edges, 0) * 1.0
+                          / LEAST(v.volume, 2 * m.m - v.volume)
+                     ELSE 0.0 END, 8) AS phi
+        FROM vol v LEFT JOIN cut c ON v.community = c.community
+        CROSS JOIN m""",
+)
+def k31(spark, sf):
+    """K31: per-community conductance of the NATION partition over the
+    customer-supplier graph — the boundary-leak complement to k9's
+    modularity (same labels, same inner-join semantics), closed-form and
+    fully SQL-oracled. phi(S) = cut(S) / min(vol(S), 2m - vol(S))."""
+    from pcd_spark.graph import conductance_terms
+
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("vid"), F.col("c_nationkey").alias("label")
+    )
+    supp = load(spark, sf, "supplier").select(
+        (F.lit(SUPPLIER_OFFSET) + F.col("s_suppkey")).alias("vid"),
+        F.col("s_nationkey").alias("label"),
+    )
+    labels = cust.unionByName(supp)
+    return conductance_terms(cust_supp_edges(spark, sf), labels)

@@ -1158,3 +1158,51 @@ def x17(spark, sf):
         .cast("long")
         .alias("last_chunk"),
     )
+
+
+_X18_SQL = """
+SELECT doc_id, tier,
+       CASE WHEN tier = 'high' THEN TRUE
+            WHEN tier = 'mid'
+              THEN substring(md5('ds1-' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+            ELSE substring(md5('ds1-' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+       END AS kept
+FROM (SELECT doc_id,
+             CASE WHEN n_chars >= 150 THEN 'high'
+                  WHEN n_chars >= 80 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM documents)
+"""
+
+
+@qt("x18_quality_downsample", _X18_SQL)
+def x18(spark, sf):
+    # QUALITY-TIERED DOWNSAMPLING — the curation step that reshapes a
+    # corpus's quality mix without an RNG [PUB: the standard practice behind
+    # quality-pareto data mixes, e.g. Penedo et al. 2023; Xie et al. 2023
+    # DSIR resamples by importance weights the same way]: bucket docs into
+    # quality tiers (pinned here by length band — swap in x6's score in
+    # production) and keep a tier-specific fraction decided by an md5
+    # hex-prefix threshold, exactly k/256 per tier ('80' = 128/256 = 1/2,
+    # '1a' = 26/256 ~ 0.102). Same engine-portability argument as x15: the
+    # keep/drop decision is a pure string function of the doc id (salted so
+    # it is independent of x15's split assignment), so ANY engine
+    # reproduces it bit-for-bit — no RNG state, no shuffle, stateless
+    # per-row; 10^12 docs stream.
+    d = load(spark, sf, "documents")
+    tier = (
+        F.when(F.col("n_chars") >= 150, "high")
+        .when(F.col("n_chars") >= 80, "mid")
+        .otherwise("low")
+    )
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("ds1-"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return d.select(
+        "doc_id",
+        tier.alias("tier"),
+        F.when(tier == "high", F.lit(True))
+        .when(tier == "mid", h2 < "80")
+        .otherwise(h2 < "1a")
+        .alias("kept"),
+    )

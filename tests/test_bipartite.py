@@ -220,3 +220,46 @@ def test_coloring_partition_invariant(spark, graphs):
     b = {r["vid"]: r["color"]
          for r in greedy_coloring(e, num_parts=16).collect()}
     assert a == b
+
+
+# ---------- K31: conductance ---------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["karate", "er_200", "two_cliques"])
+def test_conductance_matches_networkx(spark, graphs, name):
+    """phi per community vs nx.algorithms.cuts.conductance on a 2-block
+    labeling (vid parity), which exercises cut/volume on every vertex."""
+    from pcd_spark.graph import conductance_terms
+
+    g = graphs[name]
+    e = edges_df(spark, g["edges"])
+    labels = spark.createDataFrame(
+        [(v, v % 2) for v in range(g["n"])], "vid long, label long"
+    )
+    got = {
+        r["community"]: (r["cut_edges"], r["volume"], r["phi"])
+        for r in conductance_terms(e, labels).collect()
+    }
+    G = nx.Graph()
+    G.add_edges_from(g["edges"])
+    for c in (0, 1):
+        S = {v for v in G.nodes if v % 2 == c}
+        want_phi = nx.algorithms.cuts.conductance(G, S)
+        cut, vol, phi = got[c]
+        assert cut == nx.algorithms.cuts.cut_size(G, S)
+        assert vol == nx.algorithms.cuts.volume(G, S)
+        assert abs(phi - want_phi) < 1e-8, (name, c, phi, want_phi)
+
+
+def test_conductance_whole_graph_is_zero(spark, graphs):
+    """A community equal to the whole graph has cut 0 and denominator 0 ->
+    pinned phi = 0.0."""
+    from pcd_spark.graph import conductance_terms
+
+    g = graphs["karate"]
+    e = edges_df(spark, g["edges"])
+    labels = spark.createDataFrame(
+        [(v, 7) for v in range(g["n"])], "vid long, label long"
+    )
+    rows = conductance_terms(e, labels).collect()
+    assert len(rows) == 1 and rows[0]["cut_edges"] == 0 and rows[0]["phi"] == 0.0

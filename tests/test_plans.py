@@ -51,6 +51,7 @@ PLAN_SWEEP = [
     "v2_lsh_sign_buckets",
     "k26_bipartite_projection", "k28_butterflies",
     "x16_cross_doc_chunks", "x17_sequence_packing",
+    "x18_quality_downsample", "k31_conductance",
 ]
 # v1_cosine_topk is deliberately absent: brute-force cosine IS an all-pairs
 # scored scan (the documented exactness baseline for v2/v4) — its plan is
