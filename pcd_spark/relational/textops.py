@@ -1206,3 +1206,30 @@ def x18(spark, sf):
         .otherwise(h2 < "1a")
         .alias("kept"),
     )
+
+
+@qt("v6_pq_topk", None)  # learned quantizer (iterative k-means); numpy-pinned
+def v6(spark, sf):
+    # V6: product-quantized ADC top-k — the memory side of the production
+    # IVF-PQ stack (v4 prunes WHICH candidates are scored, PQ compresses
+    # HOW: 64 doubles become m=8 codes, the shrink that fits 10^12-vector
+    # indexes in cluster RAM). Codebooks are m independent V5 k-means
+    # runs (deterministic init); scoring ships only the kilobyte LUT
+    # tensor and streams the codes column. Rows-only driver check (the
+    # quantizer is iterative); the numpy mirror + cluster-recall pins live
+    # in tests/test_pq.py. On these near-uniform synthetic embeddings
+    # id-level recall is data-limited (all distances concentrate) — the
+    # documented reason quality is pinned on clustered fixtures instead.
+    from pcd_spark.vector import pq_topk, train_pq
+
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    books = train_pq(e, m=8, k=16, max_iter=4)
+    probes = [
+        (r["vec_id"], r["emb"])
+        for r in e.filter(F.col("vec_id") < 5).collect()
+    ]
+    return pq_topk(e, probes, books, topk=3).orderBy(
+        "probe_id", "approx_dist", "cand_id"
+    )
