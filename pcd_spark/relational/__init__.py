@@ -75,7 +75,7 @@ _PRIORITY = [
     "h10_json", "i2_tumbling_window_batch",
     "m2_blob_features", "x3_minhash_lsh_buckets", "x5_token_count", "x6_quality_score",
     "x7_langid_heuristic", "x8_fingerprint",
-    "v5_kmeans_clusters", "v6_pq_topk",
+    "v5_kmeans_clusters", "v6_pq_topk", "v7_ivfpq_topk",
     "k3_pagerank_top20", "k5_lpa_community_sizes", "k8_corpus_pipeline",
     "k10_kcore", "k13_louvain_communities", "k14_ppr_top20",
     "k15_hits", "k18_random_walks",

@@ -1233,3 +1233,26 @@ def v6(spark, sf):
     return pq_topk(e, probes, books, topk=3).orderBy(
         "probe_id", "approx_dist", "cand_id"
     )
+
+
+@qt("v7_ivfpq_topk", None)  # learned coarse+fine quantizers; numpy/cluster-pinned
+def v7(spark, sf):
+    # V7: the COMPOSED production ANN stack — IVF cells prune which
+    # candidates are scored (v4's role, here with learned V5 cells),
+    # PQ codes over the residuals x - centroid compress how (v6's role,
+    # the Jégou IVFADC construction). nprobe=2 cells per query; residual
+    # encoding is what gives within-cell discrimination (raw-vector PQ
+    # ties same-cell codes). Rows-only driver check; mechanics and
+    # cluster/id-level recall pinned in tests/test_pq.py.
+    from pcd_spark.vector import ivfpq_topk
+
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    probes = [
+        (r["vec_id"], r["emb"])
+        for r in e.filter(F.col("vec_id") < 5).collect()
+    ]
+    return ivfpq_topk(
+        e, probes, ncells=8, m=8, k=16, nprobe=2, topk=3, max_iter=4
+    ).orderBy("probe_id", "approx_dist", "cand_id")

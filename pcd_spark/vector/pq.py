@@ -150,3 +150,119 @@ def pq_topk(
         .filter(F.col("rn") <= topk)
         .drop("rn")
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    probes: list[tuple[int, list[float]]],
+    ncells: int = 8,
+    m: int = 4,
+    k: int = 16,
+    nprobe: int = 2,
+    topk: int = 3,
+    vec_col: str = "emb",
+    id_col: str = "vec_id",
+    max_iter: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """V7: the composed production ANN stack — IVF coarse cells (V5 k-means)
+    prune WHICH candidates are scored, PQ codes over the RESIDUALS
+    (x − coarse centroid, the Jégou et al. 2011 IVFADC construction)
+    compress HOW. A probe scans only its `nprobe` nearest cells; its ADC
+    lookup table is rebuilt per probed cell from the residual query
+    (q − centroid), which is why residual encoding beats raw-vector PQ:
+    within a cell residuals are centered, so the codebook spends its bits
+    on local structure.
+
+    Returns (probe_id, cand_id, approx_dist): approximate squared L2,
+    smallest first, ties -> smallest cand_id; probes never match
+    themselves. Driver state: O(ncells·dim + m·k·dim/m) centroids and the
+    (P · nprobe · m · k) LUT tensor — kilobytes; vectors never shuffle,
+    only (id, cell, codes) rows do.
+    """
+    pts = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    ).persist()
+
+    # 1. coarse quantizer (learned cells) + assignment
+    stats: dict = {}
+    asg = kmeans(pts, k=ncells, vec_col="emb", id_col="vec_id",
+                 max_iter=max_iter, stats_out=stats)
+    coarse = stats["centroids"]  # (ncells, dim)
+
+    # 2. residuals, vectorized (centroids ship in the closure)
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def residual(emb: pd.Series, cell: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy())
+        r = x - coarse[cell.to_numpy()]
+        return pd.Series(list(r))
+
+    withcell = pts.join(asg, "vec_id").select(
+        "vec_id", "cluster", "emb"
+    ).withColumn("res", residual(F.col("emb"), F.col("cluster")))
+
+    # 3. PQ codebooks over residuals + codes
+    res_df = withcell.select("vec_id", F.col("res").alias("emb"))
+    books = train_pq(res_df, m=m, k=k, max_iter=max_iter)
+    codes = pq_encode(res_df, books).join(
+        withcell.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
+    )
+
+    # 4. per-probe LUTs for each probed cell (residual query)
+    msub = books.shape[2]
+    pids = [int(p) for p, _ in probes]
+    qs = np.stack([np.asarray(v, dtype=float) for _, v in probes])
+    d2c = ((qs[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)  # (P, ncells)
+    probed = np.argsort(d2c, axis=1)[:, :nprobe]  # (P, nprobe)
+    lut_index: dict[tuple[int, int], int] = {}
+    luts = []
+    pairs = []
+    for pi, pid in enumerate(pids):
+        for cell in probed[pi]:
+            rq = qs[pi] - coarse[cell]
+            lut = np.stack([
+                ((rq[j * msub:(j + 1) * msub][None, :] - books[j]) ** 2).sum(axis=1)
+                for j in range(m)
+            ])  # (m, k)
+            lut_index[(pid, int(cell))] = len(luts)
+            luts.append(lut)
+            pairs.append((pid, int(cell)))
+    luts_arr = np.stack(luts)  # (L, m, k)
+    jidx = np.arange(m)
+
+    @F.pandas_udf(DoubleType())
+    def adc(codes_s: pd.Series, pid_s: pd.Series, cell_s: pd.Series) -> pd.Series:
+        c = np.stack(codes_s.to_numpy())
+        li = np.fromiter(
+            (lut_index[(p, q)] for p, q in zip(pid_s.to_numpy(), cell_s.to_numpy())),
+            dtype=np.int64, count=len(c),
+        )
+        return pd.Series(luts_arr[li[:, None], jidx[None, :], c].sum(axis=1))
+
+    # 5. candidates = vectors in probed cells (equi-join on cell)
+    probe_cells = codes.sparkSession.createDataFrame(
+        pairs, "probe_id long, cell int"
+    )
+    scored = (
+        codes.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                adc(F.col("codes"), F.col("probe_id"), F.col("cell")), round_to
+            ).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("approx_dist"), F.asc("cand_id")
+    )
+    out = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .drop("rn")
+    )
+    out = out.localCheckpoint(eager=True)
+    pts.unpersist()
+    return out

@@ -81,3 +81,32 @@ def test_pq_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id long, emb array<double>")
     with pytest.raises(ValueError):
         train_pq(df, m=2, k=1)
+
+
+def test_ivfpq_retrieves_cluster_with_inner_ranking(spark, clustered):
+    """V7 IVF-PQ: candidates must come from the probe's own cluster (the
+    IVF prune) AND — unlike raw-vector PQ, whose same-cluster codes tie —
+    residual encoding must discriminate WITHIN the cluster: pinned as
+    id-level recall@5 >= 0.4 against the exact top-5 (measured 0.53-0.6 on
+    this fixture) and at least two distinct approximate distances."""
+    from pcd_spark.vector import ivfpq_topk
+
+    df, X = clustered
+    probes = [(i, X[i].tolist()) for i in range(3)]
+    res = ivfpq_topk(df, probes, ncells=10, m=4, k=16, nprobe=2, topk=5).collect()
+    got: dict[int, list] = {}
+    dists: dict[int, set] = {}
+    for r in res:
+        got.setdefault(r["probe_id"], []).append(r["cand_id"])
+        dists.setdefault(r["probe_id"], set()).add(r["approx_dist"])
+    hits = tot = 0
+    for pid, pv in probes:
+        assert all(c % 10 == pid % 10 for c in got[pid]), (pid, got[pid])
+        assert len(dists[pid]) >= 2, (pid, dists[pid])
+        d = sorted(
+            (float(((X[c] - np.asarray(pv)) ** 2).sum()), c)
+            for c in X if c != pid
+        )
+        hits += len({c for _, c in d[:5]} & set(got[pid]))
+        tot += 5
+    assert hits / tot >= 0.4, hits / tot
