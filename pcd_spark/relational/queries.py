@@ -510,12 +510,34 @@ def e5(spark, sf):
        FROM orders""",
 )
 def e6(spark, sf):
+    # E6 without the single-partition global window (the scale killer a bare
+    # Window.orderBy plans): rank via the two-phase range-partitioned
+    # global_rank, then derive both percentile functions arithmetically from
+    # (rn, N). Under a total order (o_orderkey tiebreak) rank == row_number,
+    # so PERCENT_RANK = (rn-1)/(N-1); NTILE(k) is the exact SQL bucket rule —
+    # the first N mod k buckets get ceil(N/k) rows, the rest floor(N/k).
     o = load(spark, sf, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("prk"),
+    stats: dict = {}
+    ranked = global_rank(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        stats_out=stats,
+    )
+    n, k = stats["total"], 10
+    q, r = divmod(n, k)
+    rn = F.col("rn")
+    if q == 0:
+        decile = rn.cast("int")
+    else:
+        big = r * (q + 1)  # rows covered by the size-(q+1) buckets
+        decile = (
+            F.when(rn <= big, F.ceil(rn / (q + 1)))
+            .otherwise(r + F.ceil((rn - big) / q))
+            .cast("int")
+        )
+    prk = F.lit(0.0) if n <= 1 else F.round((rn - 1) / F.lit(float(n - 1)), 6)
+    return ranked.select(
+        "o_orderkey", decile.alias("decile"), prk.alias("prk")
     )
 
 
@@ -523,7 +545,12 @@ def e6(spark, sf):
 # F. sorts / limits / top-k
 # =========================================================================
 
-def global_rank(df: DataFrame, order_cols: list, rank_name: str = "rn") -> DataFrame:
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_name: str = "rn",
+    stats_out: dict | None = None,
+) -> DataFrame:
     """F1: distributed global rank (1-based) under a TOTAL order.
 
     Window.orderBy with no partitionBy funnels every row through ONE task —
@@ -532,12 +559,18 @@ def global_rank(df: DataFrame, order_cols: list, rank_name: str = "rn") -> DataF
     partition-locally, then add per-partition row-count offsets (an O(P)
     driver collect — partition COUNTS, not rows). Deterministic as long as
     order_cols is a total order (caller supplies the tiebreaker).
+
+    ``stats_out['total']`` receives the total row count (already on the
+    driver from the offset collect — callers like e6 that need N for
+    percentile arithmetic get it without a second scan).
     """
     ranged = df.repartitionByRange(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
     sizes = {r["_pid"]: r["_n"] for r in counts}
+    if stats_out is not None:
+        stats_out["total"] = sum(sizes.values())
     offsets = {}
     acc = 0
     for pid in sorted(sizes):

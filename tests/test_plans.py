@@ -72,6 +72,18 @@ def test_no_cartesian_and_no_rowwise_python(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, (name, plan)
 
 
+@pytest.mark.parametrize("name", PLAN_SWEEP)
+def test_no_single_partition_window(spark, sf_dir, name):
+    """A Window with no partitionBy plans `Exchange SinglePartition` → Window:
+    every row of the input funnels through ONE task — the global-sort scale
+    killer global_rank() exists to avoid (VERDICT r2 'What's wrong' #1, e6).
+    A global AGGREGATE over SinglePartition is fine (O(P) partial rows), so
+    the ban is scoped to plans that carry a Window node."""
+    plan = _plan(spark, sf_dir, name)
+    if "Window" in plan:
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     """b2's range predicate must reach the parquet reader as PushedFilters —
     a plan that filters after a full scan reads 100 TB to return a slice."""
