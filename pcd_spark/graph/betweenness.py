@@ -52,6 +52,7 @@ def betweenness_centrality(
     num_parts: int | None = None,
     sample_salt: int = 0xBC,
     stats_out: dict | None = None,
+    exact_vertex_limit: int = 20_000,
 ) -> DataFrame:
     """Returns DataFrame(vid: long, betweenness: double) — exact Brandes
     pair-dependency sums over the given `sources` (every vertex with an
@@ -62,6 +63,18 @@ def betweenness_centrality(
     To estimate full betweenness from a sample, multiply by V/S
     (Brandes-Pich); this function returns the raw sums so tests can pin
     them exactly.
+
+    Guard rails (each raises rather than returning silently wrong/
+    driver-killing results):
+    - exact mode (no sources, no n_samples) is O(V·E) AND collects every
+      vertex id to the driver — refused above `exact_vertex_limit`
+      vertices with a pointer to n_samples.
+    - explicit `sources` absent from the graph would contribute zero while
+      still inflating a caller's Brandes-Pich V/S scaling — refused.
+    - a forward BFS that hits max_iter before the frontier empties means
+      sigma/dist are INCOMPLETE and the backward sweep would return
+      silently corrupted sums (not an approximation) — refused, and
+      stats_out['converged'] records the check.
     """
     edges = edges.persist()
     p = num_parts or adaptive_num_parts(edges)
@@ -86,6 +99,29 @@ def betweenness_centrality(
     )
     if sources is not None:
         src_list = sorted(int(s) for s in sources)
+        present = {
+            r["vid"]
+            for r in verts.join(
+                F.broadcast(
+                    e.sparkSession.createDataFrame(
+                        [(s,) for s in src_list], "vid long"
+                    )
+                ),
+                "vid",
+                "leftsemi",
+            ).collect()
+        }
+        missing = [s for s in src_list if s not in present]
+        if missing:
+            e.unpersist()
+            e_dst.unpersist()
+            edges.unpersist()
+            raise ValueError(
+                f"betweenness: sources not in the graph: {missing[:10]}"
+                f"{'...' if len(missing) > 10 else ''} — a missing source "
+                "contributes zero dependency while still counting toward a "
+                "Brandes-Pich V/S estimator; pass only existing vertices"
+            )
     elif n_samples is not None:
         src_list = [
             r["vid"]
@@ -96,6 +132,17 @@ def betweenness_centrality(
             .collect()
         ]
     else:
+        n_verts = verts.count()
+        if n_verts > exact_vertex_limit:
+            e.unpersist()
+            e_dst.unpersist()
+            edges.unpersist()
+            raise ValueError(
+                f"betweenness: exact mode on {n_verts} vertices would run "
+                f"O(V·E) supersteps AND collect {n_verts} vertex ids to the "
+                "driver — pass n_samples=<S> (Brandes-Pich sampling, scale "
+                "the result by V/S) or raise exact_vertex_limit explicitly"
+            )
         src_list = [r["vid"] for r in verts.collect()]
     if not src_list:
         raise ValueError("betweenness: no source vertices")
@@ -143,9 +190,25 @@ def betweenness_centrality(
             .alias("_delta"),
         )
 
-    fstate, lmax_plus1, _ = run_supersteps(
+    fstate, lmax_plus1, fmetrics = run_supersteps(
         init, fwd, tol=0.5, max_iter=max_iter
     )
+    if fmetrics and fmetrics[-1][1] >= 0.5:
+        # max_iter exhausted while the frontier was still settling vertices:
+        # sigma/dist are incomplete, lmax is wrong, and the backward sweep
+        # would return silently corrupted dependency sums — not a sampled
+        # approximation. Refuse (ADVICE r2, medium).
+        e.unpersist()
+        e_dst.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"betweenness: forward BFS still settling vertices at max_iter="
+            f"{max_iter} (last step settled {fmetrics[-1][1]:.0f}); the BFS "
+            "depth exceeds max_iter — raise max_iter above the graph's "
+            "eccentricity from the chosen sources"
+        )
+    if stats_out is not None:
+        stats_out["converged"] = True
     # the loop runs one no-change step past the last settling step
     lmax = lmax_plus1 - 1
 

@@ -72,6 +72,14 @@ def bipartite_projection(
     )
     if min_weight > 1:
         pairs = pairs.filter(F.col("weight") >= min_weight)
+    # materialize the projection NOW so the input cache can be released —
+    # returning a lazy plan over a persisted `e` leaks the cached blocks for
+    # the session lifetime (ADVICE r2: every k26/k28/k31 driver invocation
+    # stacked another copy). localCheckpoint blocks are freed by the
+    # ContextCleaner once the caller drops the result, unlike a persist
+    # nobody can reach.
+    pairs = pairs.localCheckpoint(eager=True)
+    e.unpersist()
     return pairs
 
 

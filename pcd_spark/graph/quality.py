@@ -189,9 +189,14 @@ def conductance_terms(
     ).otherwise(0.0)
     if round_to is not None:
         phi = F.round(phi, round_to)
-    return vol.join(cut, "community", "left").select(
+    out = vol.join(cut, "community", "left").select(
         "community",
         F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
         "volume",
         phi.alias("phi"),
     )
+    # O(#communities) rows — materialize so the labeled-edge cache `lb`
+    # can be released instead of leaking for the session (ADVICE r2)
+    out = out.localCheckpoint(eager=True)
+    lb.unpersist()
+    return out

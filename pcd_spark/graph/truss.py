@@ -85,6 +85,7 @@ def k_truss(
 
     rounds = 0
     sup = None
+    converged = n_cur == 0
     for rounds in range(1, max_iter + 1):
         sup = _edge_support(cur, n_cur)
         keep = (
@@ -98,10 +99,23 @@ def k_truss(
         cur = nxt
         if n_nxt == n_cur:
             n_cur = n_nxt
+            converged = True
             break
         n_cur = n_nxt
         if n_cur == 0:
+            converged = True
             break
+    if not converged:
+        # peeling cascades can need up to O(E) rounds on adversarial chains;
+        # returning here would include edges with support < k-2 with no
+        # signal (ADVICE r2). Refuse instead of lying.
+        cur.unpersist()
+        canon.unpersist()
+        raise RuntimeError(
+            f"k_truss: peeling not at fixpoint after max_iter={max_iter} "
+            f"rounds ({n_cur} edges still shrinking) — raise max_iter; the "
+            "cascade depth can reach O(E) on chain-like graphs"
+        )
 
     # final support over the fixpoint edge set (recomputed so the reported
     # numbers describe the OUTPUT subgraph, not the pre-peel one)
@@ -116,5 +130,6 @@ def k_truss(
     if stats_out is not None:
         stats_out["rounds"] = rounds
         stats_out["edges"] = n_cur
+        stats_out["converged"] = converged
     canon.unpersist()
     return out

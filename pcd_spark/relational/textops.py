@@ -160,7 +160,7 @@ def x4(spark, sf):
                 lambda i: F.expr("text").substr(i, F.lit(4)),
             )
         ).alias("grams"),
-    ).persist()
+    ).localCheckpoint(eager=True)  # GC-scoped, not a session-lifetime persist
     sizes = sh.select("doc_id", F.size("grams").alias("sz"))
     post = sh.select("doc_id", F.explode("grams").alias("gram"))
     inter_df = (
@@ -876,11 +876,15 @@ def x10(spark, sf):
     from pcd_spark.graph.cc import connected_components
 
     d = load(spark, sf, "documents").filter(F.length("text") >= 5)
+    # eager localCheckpoint, not persist: the returned plan still references
+    # sig, so an in-function persist could never be unpersisted — it leaked
+    # cached blocks for the session lifetime (ADVICE r2). Checkpoint blocks
+    # are freed by the ContextCleaner when the caller drops the result.
     sig = d.select(
         "doc_id",
         F.md5(F.concat(_minhash_col("s1"), _minhash_col("s2"))).alias("band_a"),
         F.md5(F.concat(_minhash_col("s3"), _minhash_col("s4"))).alias("band_b"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     star = []
     for band in ("band_a", "band_b"):
         bmin = sig.groupBy(band).agg(F.min("doc_id").alias("src"))
@@ -974,6 +978,10 @@ def x14(spark, sf):
             .select("src", F.col("doc_id").alias("dst"))
         )
     cc = connected_components(star[0].unionByName(star[1]))
+    # connected_components materialized the star edges during its supersteps,
+    # so the signature cache is consumed — release it here instead of leaking
+    # cached blocks for the session (ADVICE r2)
+    sig.unpersist()
     clustered = d.join(
         cc.withColumnRenamed("vid", "doc_id"), "doc_id", "left"
     ).select(

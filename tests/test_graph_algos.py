@@ -1120,3 +1120,58 @@ def test_eigenvector_centrality_wheel_hub_first(spark):
     assert got[0] == max(got.values())
     rim = [got[v] for v in range(1, 12)]
     assert max(rim) - min(rim) < 1e-9
+
+
+# ---- guard rails (ADVICE r2): refuse instead of silently-wrong --------------
+
+
+def test_betweenness_missing_source_raises(spark, graphs):
+    """An explicit source absent from the graph contributes zero dependency
+    while inflating a caller's Brandes-Pich V/S scaling — must raise, not
+    silently drop (ADVICE r2)."""
+    from pcd_spark.graph import betweenness_centrality
+
+    e = edges_df(spark, graphs["two_cliques"]["edges"])
+    with pytest.raises(ValueError, match="sources not in the graph"):
+        betweenness_centrality(e, sources=[0, 99999])
+
+
+def test_betweenness_exact_mode_vertex_guard(spark, graphs):
+    """Exact mode (no sources, no n_samples) collects every vertex id to the
+    driver and runs O(V·E); above the limit it must raise with a pointer to
+    n_samples rather than OOM the driver (VERDICT r2 'What's wrong' #2)."""
+    from pcd_spark.graph import betweenness_centrality
+
+    e = edges_df(spark, graphs["er_200"]["edges"])
+    with pytest.raises(ValueError, match="n_samples"):
+        betweenness_centrality(e, exact_vertex_limit=10)
+
+
+def test_betweenness_forward_nonconvergence_raises(spark):
+    """BFS depth > max_iter means sigma/dist are INCOMPLETE and the backward
+    sweep would return corrupted sums — must raise (ADVICE r2, medium)."""
+    from pcd_spark.graph import betweenness_centrality
+
+    path = edges_df(spark, [(i, i + 1) for i in range(8)])  # depth 8 from 0
+    with pytest.raises(RuntimeError, match="forward BFS"):
+        betweenness_centrality(path, sources=[0], max_iter=3)
+    # and the same graph converges fine when max_iter covers the depth
+    stats: dict = {}
+    betweenness_centrality(path, sources=[0], max_iter=20, stats_out=stats)
+    assert stats["converged"] is True
+
+
+def test_ktruss_peel_exhaustion_raises(spark):
+    """Peeling cascades can need many rounds; exhausting max_iter mid-cascade
+    would return edges with support < k-2 — must raise (ADVICE r2)."""
+    from pcd_spark.graph import k_truss
+
+    # two triangles sharing edge (1,2): k=4 peel takes >= 2 rounds
+    # (round 1 removes the support-1 edges, round 2 removes 1-2)
+    edges = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)]
+    e = edges_df(spark, edges)
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_truss(e, k=4, max_iter=1)
+    stats: dict = {}
+    out = k_truss(e, k=4, max_iter=50, stats_out=stats)
+    assert out.count() == 0 and stats["converged"] is True
