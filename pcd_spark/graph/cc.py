@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from pcd_spark.graph.edges import symmetrize, vertices_of
 from pcd_spark.graph.partition import adaptive_num_parts
-from pcd_spark.graph.superstep import run_supersteps
+from pcd_spark.graph.superstep import drop_views, fresh_view, run_supersteps
 from pcd_spark.storage import CheckpointStore
 
 
@@ -45,33 +45,38 @@ def connected_components(
         "vid", F.col("vid").alias("label"), F.lit(1.0).alias("_delta")
     )
 
+    # The whole superstep is ONE spark.sql() over temp views — single parse +
+    # single analysis per iteration instead of ~12 eagerly-analyzed
+    # transformations (see superstep.fresh_view; same conversion as
+    # pagerank/lpa). Physical plan unchanged: (1) hash-min gather (D7) with
+    # one wide REPARTITION(p, vid) shuffle and a partition-local MIN, (2)
+    # pointer-jump self-join on l1 (ReuseExchange dedupes the identical l1
+    # subtree either way), SHUFFLE_HASH joins, zero-extra-join convergence.
+    spark = edges.sparkSession
+    sym_view = fresh_view(sym, "pcd_cc_sym")
+    state_view = fresh_view(init, "pcd_cc_state")
+
     def step(state: DataFrame, _i: int) -> DataFrame:
-        labels = state.select("vid", "label")
-        # 1. hash-min gather over neighborhoods (D7)
-        nbr_min = (
-            sym.hint("shuffle_hash")
-            .join(labels.withColumnRenamed("vid", "src"), "src")
-            .select(F.col("dst").alias("vid"), "label")
-            .repartition(p, "vid")
-            .groupBy("vid")
-            .agg(F.min("label").alias("nmin"))
-        )
-        l1 = labels.join(nbr_min.hint("shuffle_hash"), "vid", "left").select(
-            "vid",
-            F.col("label").alias("old"),
-            F.least("label", F.coalesce("nmin", "label")).alias("label"),
-        )
-        # 2. pointer jump: label <- label(label)
-        parent = l1.select(
-            F.col("vid").alias("label"), F.col("label").alias("plabel")
-        )
-        l2 = l1.join(parent.hint("shuffle_hash"), "label", "left")
-        newl = F.coalesce("plabel", "label")
-        return l2.select(
-            "vid",
-            newl.alias("label"),
-            (newl != F.col("old")).cast("double").alias("_delta"),
-        )
+        state.createOrReplaceTempView(state_view)
+        return spark.sql(f"""
+            WITH l1 AS (
+              SELECT /*+ SHUFFLE_HASH(nm) */ s.vid, s.label AS old,
+                     LEAST(s.label, COALESCE(nm.nmin, s.label)) AS label
+              FROM {state_view} s
+              LEFT JOIN (
+                SELECT vid, MIN(label) AS nmin
+                FROM (SELECT /*+ REPARTITION({p}, vid), SHUFFLE_HASH(e) */
+                             e.dst AS vid, r.label
+                      FROM {sym_view} e
+                      JOIN {state_view} r ON e.src = r.vid) m
+                GROUP BY vid) nm
+              ON s.vid = nm.vid)
+            SELECT /*+ SHUFFLE_HASH(b) */ a.vid,
+                   COALESCE(b.label, a.label) AS label,
+                   CAST(COALESCE(b.label, a.label) <> a.old AS DOUBLE)
+                     AS _delta
+            FROM l1 a
+            LEFT JOIN l1 b ON a.label = b.vid""")
 
     final, iters, metrics = run_supersteps(
         init, step, tol=0.5, max_iter=max_iter,
@@ -81,6 +86,7 @@ def connected_components(
         stats_out["iterations"] = iters
         stats_out["metrics"] = metrics
     out = final.select("vid", F.col("label").alias("component"))
+    drop_views(spark, sym_view, state_view)
     sym.unpersist()
     verts.unpersist()
     edges.unpersist()

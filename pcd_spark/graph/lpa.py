@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from pcd_spark.graph.edges import symmetrize, vertices_of
 from pcd_spark.graph.partition import adaptive_num_parts
-from pcd_spark.graph.superstep import run_supersteps
+from pcd_spark.graph.superstep import drop_views, fresh_view, run_supersteps
 from pcd_spark.storage import CheckpointStore
 
 _ENC_LIMIT = 2**62
@@ -158,45 +158,65 @@ def label_propagation(
         "vid", F.col("vid").alias("label"), F.lit(1.0).alias("_delta")
     )
 
+    # The whole superstep is ONE spark.sql() over temp views — single parse +
+    # single analysis per iteration instead of ~10 eagerly-analyzed
+    # transformations (see superstep.fresh_view; same conversion as
+    # pagerank/cc, measured 0.24-0.48 s -> 0.06-0.10 s of driver time per
+    # superstep). The physical plans are unchanged per variant:
+    #   - unsalted: ONE wide REPARTITION(p, dst) shuffle; the (dst,label)
+    #     count AND the per-dst argmax both run partition-local because
+    #     HashPartitioning(dst) satisfies their clustering requirements;
+    #   - salted (C10): partial histograms by (dst,salt,label), then final;
+    #   - unweighted messages never carry a weight column (8 fewer bytes on
+    #     every one of the 2|E| shuffled rows);
+    #   - argmax: encoded single-long MAX when the domain fits (hash-agg,
+    #     codegen), else the portable struct-MIN (SortAggregate — exact at
+    #     any scale, incl. full-range signed xxhash64 vid spaces).
+    spark = edges.sparkSession
+    sym_view = fresh_view(sym, "pcd_lpa_sym")
+    state_view = fresh_view(init, "pcd_lpa_state")
+    wcol = "" if weight_col is None else ", e.w"
+    vote = "COUNT(*)" if weight_col is None else "SUM(w)"
+    msgs_sql = (
+        f"SELECT /*+ {'' if salt_buckets > 0 else f'REPARTITION({p}, dst), '}"
+        f"SHUFFLE_HASH(e) */ e.dst{', e.salt' if salt_buckets > 0 else ''},"
+        f" r.label{wcol}"
+        f" FROM {sym_view} e JOIN {state_view} r ON e.src = r.vid"
+    )
+    if salt_buckets > 0:
+        counts_sql = f"""
+            SELECT dst AS vid, label, SUM(cnt) AS cnt
+            FROM (SELECT dst, salt, label, {vote} AS cnt
+                  FROM ({msgs_sql}) m
+                  GROUP BY dst, salt, label) pp
+            GROUP BY dst, label"""
+    else:
+        counts_sql = f"""
+            SELECT dst AS vid, label, {vote} AS cnt
+            FROM ({msgs_sql}) m
+            GROUP BY dst, label"""
+    if use_encoded:
+        k, off = enc_k, min_vid
+        best_sql = f"""
+            SELECT vid, {off} + PMOD({k} - PMOD(sc, {k}), {k}) AS new_label
+            FROM (SELECT vid, MAX(cnt * {k} - (label - {off})) AS sc
+                  FROM ({counts_sql}) c GROUP BY vid) mx"""
+    else:
+        best_sql = f"""
+            SELECT vid, m.label AS new_label
+            FROM (SELECT vid,
+                         MIN(NAMED_STRUCT('nc', -cnt, 'label', label)) AS m
+                  FROM ({counts_sql}) c GROUP BY vid) mx"""
+    step_sql = f"""
+        SELECT vid, nlabel AS label, CAST(nlabel <> old AS DOUBLE) AS _delta
+        FROM (SELECT /*+ SHUFFLE_HASH(b) */ s.vid, s.label AS old,
+                     COALESCE(b.new_label, s.label) AS nlabel
+              FROM {state_view} s
+              LEFT JOIN ({best_sql}) b ON s.vid = b.vid)"""
+
     def step(state: DataFrame, _i: int) -> DataFrame:
-        labels = state.select("vid", "label")
-        msgs = sym.hint("shuffle_hash").join(
-            labels.withColumnRenamed("vid", "src"), "src"
-        )
-        # unweighted messages never carry a weight column (8 fewer bytes on
-        # every one of the 2|E| shuffled rows — the hot path stays as-is)
-        vote = F.count("*") if weight_col is None else F.sum("w")
-        msg_cols = ["dst", "label"] + ([] if weight_col is None else ["w"])
-        if salt_buckets > 0:
-            partial = msgs.groupBy("dst", "salt", "label").agg(
-                vote.alias("cnt")
-            )
-            counts = partial.groupBy("dst", "label").agg(F.sum("cnt").alias("cnt"))
-        else:
-            # ONE wide shuffle; both aggs below are partition-local because
-            # HashPartitioning(dst) satisfies their clustering requirements
-            counts = (
-                msgs.select(*msg_cols)
-                .repartition(p, "dst")
-                .groupBy("dst", "label")
-                .agg(vote.alias("cnt"))
-            )
-        cnts = counts.withColumnRenamed("dst", "vid")
-        best = (
-            argmax_label_encoded(cnts, enc_k, min_vid)
-            if use_encoded
-            else argmax_label(cnts)
-        )
-        new_label = F.coalesce("new_label", "label")
-        return (
-            state.select("vid", "label")
-            .join(best.hint("shuffle_hash"), "vid", "left")
-            .select(
-                "vid",
-                new_label.alias("label"),
-                (new_label != F.col("label")).cast("double").alias("_delta"),
-            )
-        )
+        state.createOrReplaceTempView(state_view)
+        return spark.sql(step_sql)
 
     _secs: list[float] = []
     final, iters, metrics = run_supersteps(
@@ -210,6 +230,7 @@ def label_propagation(
         stats_out["step_secs"] = _secs
         stats_out["encoded_argmax"] = use_encoded
     out = final.select("vid", "label")
+    drop_views(spark, sym_view, state_view)
     sym.unpersist()
     verts.unpersist()
     edges.unpersist()

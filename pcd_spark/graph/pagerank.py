@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from pcd_spark.graph.edges import vertices_of
 from pcd_spark.graph.partition import adaptive_num_parts
-from pcd_spark.graph.superstep import run_supersteps
+from pcd_spark.graph.superstep import drop_views, fresh_view, run_supersteps
 from pcd_spark.storage import CheckpointStore
 
 
@@ -127,56 +127,57 @@ def pagerank(
     )
     extras: dict = {}
 
+    # The superstep is built as ONE spark.sql() over temp views — a single
+    # parse + single analysis per iteration instead of ~10 eagerly-analyzed
+    # DataFrame transformations (measured: plan-build 0.30-0.48 s → 0.06-0.10
+    # s per superstep on this box; see superstep.fresh_view). The PHYSICAL
+    # plan is unchanged and still the tuned shape:
+    #   - ONE wide shuffle: the REPARTITION(p, dst) hint pins the reduce
+    #     width, then the SUM runs partition-locally (HashPartitioning(dst)
+    #     satisfies the clustering; a bare GROUP BY exchange would be
+    #     AQE-coalesced to a handful of tasks);
+    #   - SHUFFLE_HASH hints: the sort in sort-merge join is pure waste when
+    #     the big side is pre-partitioned and reused;
+    #   - old rank rides along (state is the vertex universe), so new rank
+    #     and |Δ| come out of the SAME select — zero-extra-join convergence.
+    spark = edges.sparkSession
+    trans_view = fresh_view(trans, "pcd_pr_trans")
+    state_view = fresh_view(init, "pcd_pr_state")
+    statics_outer = "".join(f", `{c}`" for c in static_cols)
+    statics_inner = "".join(f", s.`{c}`" for c in static_cols)
+    reset_term = (
+        f"{1.0 - damping!r} * s.`reset`" if personalized else f"{teleport!r}"
+    )
+
     def step(state: DataFrame, _i: int) -> DataFrame:
-        ranks = state.select("vid", "rank")
-        # ONE wide shuffle: explicit repartition(p, dst), then the sum runs
-        # partition-locally (HashPartitioning(dst) satisfies the clustering).
-        # A plain groupBy(dst) exchange would be AQE-coalesced by size
-        # (~64MB advisory -> a handful of reduce tasks no matter how many
-        # cores), capping superstep parallelism; the explicit repartition
-        # pins the reduce width to p. Map-side combine lost this way is
-        # negligible here (per-partition distinct dst ~= rows).
-        contribs = (
-            trans.hint("shuffle_hash")
-            .join(ranks.withColumnRenamed("vid", "src"), "src")
-            .select("dst", (F.col("p") * F.col("rank")).alias("pc"))
-            .repartition(p, "dst")
-            .groupBy("dst")
-            .agg(F.sum("pc").alias("contrib"))
-            .withColumnRenamed("dst", "vid")
-        )
-        # old rank rides along: state is the vertex universe
-        keep = ["vid", F.col("rank").alias("old")] + static_cols
-        base = state.select(*keep).join(
-            contribs.hint("shuffle_hash"), "vid", "left"
-        )
+        state.createOrReplaceTempView(state_view)
         if has_danglers:
             # dangling mass of the PREVIOUS state, summed by the driver in
             # the same round-trip as the convergence delta — a literal here,
             # spread uniformly (1/n) or by the reset vector (personalized)
             dmass = float(extras.get("dmass") or 0.0)
             extra = (
-                F.lit(dmass) * F.col("reset")
-                if personalized
-                else F.lit(dmass / n)
+                f"{dmass!r} * s.`reset`" if personalized else f"{dmass / n!r}"
             )
         else:
-            extra = F.lit(0.0)
-        reset_term = (
-            F.lit(1.0 - damping) * F.col("reset")
-            if personalized
-            else F.lit(teleport)
-        )
-        new_rank = reset_term + F.lit(damping) * (
-            F.coalesce("contrib", F.lit(0.0)) + extra
-        )
-        out_cols = [
-            F.col("vid"),
-            new_rank.alias("rank"),
-            *[F.col(c) for c in static_cols],
-            F.abs(new_rank - F.col("old")).alias("_delta"),
-        ]
-        return base.select(*out_cols)
+            extra = "0.0"
+        return spark.sql(f"""
+            SELECT vid, nrank AS `rank`{statics_outer},
+                   ABS(nrank - old) AS _delta
+            FROM (
+              SELECT /*+ SHUFFLE_HASH(c) */ s.vid, s.`rank` AS old
+                     {statics_inner},
+                     {reset_term} + {damping!r}
+                       * (COALESCE(c.contrib, 0.0) + {extra}) AS nrank
+              FROM {state_view} s
+              LEFT JOIN (
+                SELECT dst AS vid, SUM(pc) AS contrib
+                FROM (SELECT /*+ REPARTITION({p}, dst), SHUFFLE_HASH(t) */
+                             t.dst, t.p * r.`rank` AS pc
+                      FROM {trans_view} t
+                      JOIN {state_view} r ON t.src = r.vid) x
+                GROUP BY dst) c
+              ON s.vid = c.vid)""")
 
     def resume_fix(state: DataFrame) -> DataFrame:
         # a checkpoint written by a pre-'dang'/'reset' engine version lacks
@@ -205,6 +206,7 @@ def pagerank(
         stats_out["metrics"] = metrics
         stats_out["step_secs"] = _secs
     out = final.select("vid", "rank")
+    drop_views(spark, trans_view, state_view)
     trans.unpersist()
     verts.unpersist()
     edges.unpersist()
