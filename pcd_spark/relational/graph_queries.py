@@ -151,6 +151,7 @@ def k3(spark, sf):
 
 
 @g("k5_lpa_community_sizes", None)  # iterative; exactness covered in pytest
+# + sf0.01 golden value-hash pinned in tests/test_golden_hashes.py
 def k5(spark, sf):
     e = cust_supp_edges(spark, sf)
     labels = label_propagation(e, max_iter=20)
@@ -228,6 +229,7 @@ def k9(spark, sf):
 
 
 @g("k10_kcore", None)  # iterative peeling; exactness pinned vs networkx in pytest
+# + sf0.01 golden value-hash pinned in tests/test_golden_hashes.py
 def k10(spark, sf):
     """K10: 3-core of the part co-occurrence graph (the triangle-bearing
     one) — vertices surviving iterative degree-<3 peeling, with their
@@ -416,6 +418,7 @@ def k17(spark, sf):
 
 
 @g("k18_random_walks", None)  # hash-random rule; DuckDB has no xxhash64
+# + sf0.01 golden value-hash pinned in tests/test_golden_hashes.py
 def k18(spark, sf):
     """K18: deterministic DeepWalk corpus over the bounded customer-supplier
     graph (same src < 300 slice as k4). No SQL oracle — the next-hop rule is
@@ -616,6 +619,7 @@ def k23(spark, sf):
 
 
 @g("k24_ktruss", None)  # iterative support peeling; nx-pinned in pytest
+# + sf0.01 golden value-hash pinned in tests/test_golden_hashes.py
 def k24(spark, sf):
     """K24: 4-truss of the bounded part co-occurrence graph — the cohesive
     cores where every co-purchase edge sits in >= 2 surviving triangles
@@ -709,6 +713,7 @@ def k28(spark, sf):
 
 
 @g("k27_coreness", None)  # iterative h-index fixpoint; nx-pinned in pytest
+# + sf0.01 golden value-hash pinned in tests/test_golden_hashes.py
 def k27(spark, sf):
     """K27: full core decomposition of the part co-occurrence graph — the
     core number of EVERY vertex in one run (K10 answers membership for a
@@ -725,6 +730,7 @@ def k27(spark, sf):
 
 
 @g("k29_mis", None)  # iterative symmetry-breaking; property-pinned in pytest
+# + sf0.01 golden value-hash pinned in tests/test_golden_hashes.py
 def k29(spark, sf):
     """K29: deterministic Luby maximal independent set on the bounded part
     co-occurrence graph — the symmetry-breaking primitive (schedule sets of
@@ -741,6 +747,7 @@ def k29(spark, sf):
 
 
 @g("k30_coloring", None)  # iterative JP schedule; property-pinned in pytest
+# + sf0.01 golden value-hash pinned in tests/test_golden_hashes.py
 def k30(spark, sf):
     """K30: deterministic Jones-Plassmann greedy coloring of the bounded
     part co-occurrence graph — proper coloring (no monochromatic edge),
