@@ -180,14 +180,28 @@ def pagerank(
               ON s.vid = c.vid)""")
 
     def resume_fix(state: DataFrame) -> DataFrame:
-        # a checkpoint written by a pre-'dang'/'reset' engine version lacks
-        # the static columns; re-derive them so the step can reference them
-        missing = [c for c in static_cols if c not in state.columns]
-        if missing:
-            state = state.select("vid", "rank", "_delta").join(
-                _with_static_cols(state.select("vid")), "vid"
-            ).select("vid", "rank", *static_cols, "_delta")
-        return state
+        # Two checkpoint-compatibility cases:
+        # (a) incremental ingestion (I6/I7) GREW the graph since the
+        #     checkpoint: re-anchor the state on the CURRENT vertex
+        #     universe, warm-starting new vertices at 1/n and re-deriving
+        #     the static cols (dangler flags / reset weights change with
+        #     the edge set). The PageRank update is an L1-contraction with
+        #     a unique fixpoint, so a warm start converges to exactly the
+        #     answer a cold start on the grown graph would reach — resuming
+        #     is pure saved work, never a different result.
+        # (b) a checkpoint written by a pre-'dang'/'reset' engine version
+        #     lacks the static columns, or the edge set changed without new
+        #     vertices (stale dangler flags).
+        # One shape covers all of it: keep the checkpointed ranks, re-anchor
+        # on the current universe, re-derive the static cols. One-time cost
+        # at resume; identical state when nothing changed (kill/resume
+        # byte-identity is pinned in tests/test_checkpoint.py).
+        return (
+            verts.join(state.select("vid", "rank"), "vid", "left")
+            .select("vid", F.coalesce("rank", F.lit(1.0 / n)).alias("rank"))
+            .join(_with_static_cols(verts), "vid")
+            .select("vid", "rank", *static_cols, F.lit(1.0).alias("_delta"))
+        )
 
     _secs: list[float] = []
     extra_aggs = (

@@ -233,3 +233,82 @@ def test_approx_distinct_users_tracks_exact(spark, stream_dirs):
         assert abs(r["approx_users"] - exact_users) <= max(
             1, 0.05 * exact_users
         ), (r["win_start"], r["approx_users"], exact_users)
+
+
+def test_incremental_ingestion_then_pagerank_resume(spark, stream_dirs, tmp_path):
+    """End-to-end incremental-graph demo (SURVEY §2 I7 promise): edge
+    micro-batches arrive via the streaming front door (A6 source -> I6
+    watermark dedup -> I7 foreachBatch merge), PageRank checkpoints durably,
+    MORE edges arrive (including brand-new vertices), and PageRank RESUMES
+    from the last durable checkpoint onto the grown graph — converging to
+    exactly what a cold start on the grown graph computes, because the
+    update is an L1-contraction with a unique fixpoint."""
+    from pcd_spark.graph import pagerank
+    from pcd_spark.storage import CheckpointStore
+
+    src, ckpt, out = stream_dirs
+
+    # micro-batch 1: a 4-vertex cycle with a dangler feeding it
+    batch1 = spark.createDataFrame(
+        [(0, 1, T0), (1, 2, T0), (2, 3, T0), (3, 0, T0), (9, 0, T0)],
+        "src long, dst long, ts timestamp",
+    )
+    _drop_file(batch1, src, "b1.parquet")
+    q = start_edge_ingestion(
+        spark.readStream.schema("src long, dst long, ts timestamp").parquet(src),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+
+    base = str(tmp_path / "prck")
+    s1 = CheckpointStore(base, "pagerank", run_id="incr")
+    stats1: dict = {}
+    pagerank(
+        spark.read.parquet(out), tol=1e-12, max_iter=40,
+        store=s1, checkpoint_every=5, stats_out=stats1,
+    ).collect()
+    assert s1.latest() is not None
+
+    # micro-batch 2: new edges, including NEW vertices 4 and 5; vertex 9
+    # stops being a dangler's only role (it gains an in-edge)
+    batch2 = spark.createDataFrame(
+        [
+            (4, 0, T0 + dt.timedelta(minutes=1)),
+            (0, 4, T0 + dt.timedelta(minutes=1)),
+            (2, 5, T0 + dt.timedelta(minutes=1)),
+            (5, 9, T0 + dt.timedelta(minutes=1)),
+        ],
+        "src long, dst long, ts timestamp",
+    )
+    _drop_file(batch2, src, "b2.parquet")
+    q = start_edge_ingestion(
+        spark.readStream.schema("src long, dst long, ts timestamp").parquet(src),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+
+    grown = spark.read.parquet(out)
+    assert grown.count() == 9  # 5 + 4, exactly-once
+
+    # resume from the durable checkpoint onto the GROWN graph
+    s2 = CheckpointStore(base, "pagerank", run_id="incr")
+    resumed_from = s2.latest().iteration
+    stats2: dict = {}
+    warm = {
+        r["vid"]: r["rank"]
+        for r in pagerank(
+            grown, tol=1e-12, max_iter=200,
+            store=s2, checkpoint_every=5, stats_out=stats2,
+        ).collect()
+    }
+    # it actually resumed (iteration counter continued past the checkpoint)
+    assert stats2["iterations"] > resumed_from
+
+    # cold start on the grown graph = same fixpoint
+    cold = {
+        r["vid"]: r["rank"] for r in pagerank(grown, tol=1e-12, max_iter=200).collect()
+    }
+    assert set(warm) == set(cold) == {0, 1, 2, 3, 4, 5, 9}
+    assert abs(sum(warm.values()) - 1.0) < 1e-9
+    for v in cold:
+        assert abs(warm[v] - cold[v]) < 1e-8, (v, warm[v], cold[v])
