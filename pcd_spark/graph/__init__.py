@@ -38,5 +38,6 @@ from pcd_spark.graph.hyperball import (  # noqa: F401
 from pcd_spark.graph.betweenness import betweenness_centrality  # noqa: F401
 from pcd_spark.graph.truss import k_truss  # noqa: F401
 from pcd_spark.graph.eigen import eigenvector_centrality  # noqa: F401
+from pcd_spark.graph.katz import katz_centrality  # noqa: F401
 from pcd_spark.graph.mis import maximal_independent_set  # noqa: F401
 from pcd_spark.graph.coloring import greedy_coloring  # noqa: F401

@@ -82,6 +82,8 @@ _PRIORITY = [
     "k21_hyperball", "k22_harmonic_centrality", "k23_betweenness",
     "k24_ktruss", "k25_eigenvector", "k27_coreness", "k29_mis",
     "k30_coloring",
+    # round-3 additions (x19/x20 SQL-oracled; k32 nx-pinned)
+    "x19_source_quality_gate", "x20_boilerplate_grams", "k32_katz",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -712,6 +712,31 @@ def k28(spark, sf):
     return butterfly_counts(cust_supp_edges(spark, sf))
 
 
+@g("k32_katz", None)  # iterative affine fixpoint; nx-pinned in pytest
+def k32(spark, sf):
+    """K32 (round 3): Katz centrality top-50 on the bounded part
+    co-occurrence graph — the walk-counting centrality family member
+    between K3's PageRank (stochastic) and K25's eigenvector (spectral):
+    every walk into v counts, damped alpha^length, plus a constant beta
+    everyone gets. Auto-alpha = 0.5/(max_degree+1) <= 0.5/lambda_max, so
+    convergence holds at every scale factor (dense co-occurrence cliques
+    push lambda_max past 100 here; the engine RAISES on non-convergence
+    rather than returning a partial fixpoint). Exactness vs
+    networkx.katz_centrality is pinned in tests/test_graph_algos.py."""
+    from pcd_spark.graph import katz_centrality
+    from pcd_spark.graph.edges import symmetrize
+
+    e = part_cooccurrence_edges(spark, sf).filter(
+        (F.col("src") < 2000) & (F.col("dst") < 2000)
+    )
+    return (
+        katz_centrality(symmetrize(e), alpha=None, tol=1e-10)
+        .select("vid", F.round("katz", 7).alias("katz"))
+        .orderBy(F.desc("katz"), F.asc("vid"))
+        .limit(50)
+    )
+
+
 @g("k27_coreness", None)  # iterative h-index fixpoint; nx-pinned in pytest
 # + sf0.01 golden value-hash pinned in tests/test_golden_hashes.py
 def k27(spark, sf):

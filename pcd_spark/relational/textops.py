@@ -1279,3 +1279,129 @@ def v7(spark, sf):
     return ivfpq_topk(
         e, probes, ncells=8, m=8, k=16, nprobe=2, topk=3, max_iter=4
     ).orderBy("probe_id", "approx_dist", "cand_id")
+
+
+_X19_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_len_ok,
+       ROUND(AVG(n_chars), 4) AS mean_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       ROUND(CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+         AS uniq_ratio,
+       CASE WHEN CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) >= 0.8
+             AND CAST(SUM(CASE WHEN n_chars BETWEEN 50 AND 5000
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) >= 0.5
+            THEN TRUE ELSE FALSE END AS keep_source
+FROM documents GROUP BY source
+"""
+
+
+@qt("x19_source_quality_gate", _X19_SQL)
+def x19(spark, sf):
+    # X19 (round 3): SOURCE-LEVEL QUALITY GATING — the curation step web
+    # pipelines run ABOVE the per-doc filters: aggregate per source/domain
+    # (doc count, length-band pass rate, exact-dup rate via content digest,
+    # language spread) and keep or drop the WHOLE source [PUB: the
+    # domain-level filters of RefinedWeb (Penedo et al. 2023) and Gopher
+    # (Rae et al. 2021) work at this granularity]. Plan shape: digests are
+    # computed scan-side, the only shuffle keys are (source, md5) for the
+    # two-phase distinct and source for the main agg — map-side combinable,
+    # text never shuffles, no windows. A 10^12-doc corpus with 10^7 sources
+    # reduces to 10^7 rows.
+    d = load(spark, sf, "documents")
+    len_ok = F.when(F.col("n_chars").between(50, 5000), 1).otherwise(0)
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(len_ok).alias("n_len_ok"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5("text")).alias("n_uniq"),
+    )
+    uniq_ratio = F.col("n_uniq").cast("double") / F.col("n_docs")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_len_ok",
+        "mean_chars",
+        "n_langs",
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        (
+            (uniq_ratio >= 0.8)
+            & (F.col("n_len_ok").cast("double") / F.col("n_docs") >= 0.5)
+        ).alias("keep_source"),
+    )
+
+
+_X20_SQL = """
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS words
+           FROM documents WHERE len(string_split(text, ' ')) >= 5),
+g AS (SELECT doc_id, source,
+             array_to_string(list_slice(words, i, i + 4), ' ') AS gram
+      FROM d, UNNEST(generate_series(1, len(words) - 4)) t(i)),
+boiler AS (SELECT source, gram
+           FROM (SELECT DISTINCT source, gram, doc_id FROM g)
+           GROUP BY source, gram HAVING COUNT(*) >= 3)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_grams,
+       ROUND(CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS boilerplate_frac
+FROM g LEFT JOIN boiler b ON g.source = b.source AND g.gram = b.gram
+GROUP BY g.doc_id
+"""
+
+
+@qt("x20_boilerplate_grams", _X20_SQL)
+def x20(spark, sf):
+    # X20 (round 3): FREQUENCY-BASED BOILERPLATE DETECTION — the CCNet /
+    # RefinedWeb cleaning signal [PUB: Wenzek et al. 2020 dedupe repeated
+    # paragraphs by frequency; here the unit is the sliding 5-word gram
+    # keyed BY SOURCE, since boilerplate (headers, footers, nav text)
+    # repeats within a site]: a gram seen in >= 3 distinct docs of the same
+    # source is boilerplate; each doc reports what fraction of its grams
+    # are. Plan shape: one explode (5x row blow-up, fixed factor), a
+    # two-phase distinct-count keyed (source, gram) — never all-pairs —
+    # and one equi-join back on the same key; AQE handles the skewed
+    # head grams. DuckDB mirrors it exactly (md5-free: the gram strings
+    # themselves are the keys in both engines).
+    d = _spread(
+        load(spark, sf, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 5)
+    )
+    g = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 4),
+                lambda i: F.concat_ws(" ", F.slice("words", i, 5)),
+            )
+        ).alias("gram"),
+    ).localCheckpoint(eager=True)  # reused by the count and the join-back
+    boiler = (
+        g.select("source", "gram", "doc_id")
+        .distinct()
+        .groupBy("source", "gram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("source", "gram", F.lit(True).alias("is_boiler"))
+    )
+    per_doc = g.join(boiler, ["source", "gram"], "left").groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias(
+            "n_boiler_grams"
+        ),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler_grams",
+        F.round(
+            F.col("n_boiler_grams").cast("double") / F.col("n_grams"), 6
+        ).alias("boilerplate_frac"),
+    )

@@ -1175,3 +1175,38 @@ def test_ktruss_peel_exhaustion_raises(spark):
     stats: dict = {}
     out = k_truss(e, k=4, max_iter=50, stats_out=stats)
     assert out.count() == 0 and stats["converged"] is True
+
+
+# ---- K32 Katz centrality ------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["karate", "er_200"])
+def test_katz_centrality_matches_networkx(spark, graphs, name):
+    """Affine fixpoint x = alpha*A^T x + beta, L2-normalized — allclose
+    1e-6 vs networkx at the same alpha/beta."""
+    from pcd_spark.graph import katz_centrality
+    from pcd_spark.graph.edges import symmetrize
+
+    g = graphs[name]
+    G = nx.Graph(g["edges"])
+    got = {
+        r["vid"]: r["katz"]
+        for r in katz_centrality(
+            symmetrize(edges_df(spark, g["edges"])), alpha=0.05, tol=1e-12
+        ).collect()
+    }
+    want = nx.katz_centrality(G, alpha=0.05, max_iter=5000, tol=1e-14)
+    assert set(got) == {v for v in G.nodes() if G.degree(v) > 0}
+    for v in got:
+        assert abs(got[v] - want[v]) < 1e-6, (name, v, got[v], want[v])
+
+
+def test_katz_divergence_raises(spark, graphs):
+    """alpha beyond the spectral radius must RAISE, not return a partial
+    fixpoint (same guard discipline as betweenness/k-truss, ADVICE r2)."""
+    from pcd_spark.graph import katz_centrality
+    from pcd_spark.graph.edges import symmetrize
+
+    e = symmetrize(edges_df(spark, graphs["karate"]["edges"]))
+    with pytest.raises(RuntimeError, match="no convergence"):
+        katz_centrality(e, alpha=0.9, tol=1e-10, max_iter=30)
