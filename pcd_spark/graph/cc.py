@@ -56,6 +56,23 @@ def connected_components(
     sym_view = fresh_view(sym, "pcd_cc_sym")
     state_view = fresh_view(init, "pcd_cc_state")
 
+    def resume_fix(state: DataFrame) -> DataFrame:
+        # Incremental ingestion (I6/I7) may have GROWN the graph since the
+        # checkpoint: re-anchor on the CURRENT vertex universe. Checkpointed
+        # labels are min-so-far over the OLD edge set — a valid upper bound
+        # for hash-min propagation, which converges to the true component
+        # minimum from ANY vertex-id upper bound — and new vertices start
+        # at their own vid, exactly like a cold init. Identical state when
+        # nothing changed (kill/resume identity tests stay green).
+        return (
+            verts.join(state.select("vid", "label"), "vid", "left")
+            .select(
+                "vid",
+                F.coalesce("label", "vid").alias("label"),
+                F.lit(1.0).alias("_delta"),
+            )
+        )
+
     def step(state: DataFrame, _i: int) -> DataFrame:
         state.createOrReplaceTempView(state_view)
         return spark.sql(f"""
@@ -81,6 +98,7 @@ def connected_components(
     final, iters, metrics = run_supersteps(
         init, step, tol=0.5, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every,
+        resume_fix=resume_fix,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters

@@ -312,3 +312,60 @@ def test_incremental_ingestion_then_pagerank_resume(spark, stream_dirs, tmp_path
     assert abs(sum(warm.values()) - 1.0) < 1e-9
     for v in cold:
         assert abs(warm[v] - cold[v]) < 1e-8, (v, warm[v], cold[v])
+
+
+def test_incremental_ingestion_then_cc_resume(spark, stream_dirs, tmp_path):
+    """Incremental near-dup-style clustering refresh: connected components
+    RESUMES from a durable checkpoint after new edges (and new vertices)
+    arrive through the streaming front door, and lands on exactly the
+    cold-start components of the grown graph — hash-min propagation
+    converges to the component minimum from any vertex-id upper bound, so
+    the old labels are a valid warm start even across merges."""
+    from pcd_spark.graph import connected_components
+    from pcd_spark.storage import CheckpointStore
+
+    src, ckpt, out = stream_dirs
+
+    batch1 = spark.createDataFrame(
+        [(0, 1, T0), (2, 3, T0), (10, 11, T0)],
+        "src long, dst long, ts timestamp",
+    )
+    _drop_file(batch1, src, "b1.parquet")
+    q = start_edge_ingestion(
+        spark.readStream.schema("src long, dst long, ts timestamp").parquet(src),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+
+    base = str(tmp_path / "ccck")
+    s1 = CheckpointStore(base, "cc", run_id="incr")
+    first = {
+        r["vid"]: r["component"]
+        for r in connected_components(
+            spark.read.parquet(out), store=s1, checkpoint_every=1
+        ).collect()
+    }
+    assert first == {0: 0, 1: 0, 2: 2, 3: 2, 10: 10, 11: 10}
+
+    # batch 2 MERGES components {0,1} and {2,3} via 1-2, adds vertex 99
+    batch2 = spark.createDataFrame(
+        [(1, 2, T0 + dt.timedelta(minutes=1)),
+         (99, 10, T0 + dt.timedelta(minutes=1))],
+        "src long, dst long, ts timestamp",
+    )
+    _drop_file(batch2, src, "b2.parquet")
+    q = start_edge_ingestion(
+        spark.readStream.schema("src long, dst long, ts timestamp").parquet(src),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+
+    s2 = CheckpointStore(base, "cc", run_id="incr")
+    assert s2.latest() is not None
+    warm = {
+        r["vid"]: r["component"]
+        for r in connected_components(
+            spark.read.parquet(out), store=s2, checkpoint_every=1
+        ).collect()
+    }
+    assert warm == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 99: 10}
