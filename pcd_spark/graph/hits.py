@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from pcd_spark.graph.edges import vertices_of
 from pcd_spark.graph.partition import adaptive_num_parts
-from pcd_spark.graph.superstep import run_supersteps
+from pcd_spark.graph.superstep import drop_views, fresh_view, run_supersteps
 from pcd_spark.storage import CheckpointStore
 
 
@@ -89,55 +89,53 @@ def hits(
     )
     extras: dict = {"sa": 1.0, "sh": 1.0}
 
+    # The superstep is ONE spark.sql() over temp views — single parse +
+    # single analysis per iteration instead of ~15 eagerly-analyzed
+    # transformations (see superstep.fresh_view; same conversion as
+    # pagerank/lpa/cc). Physical plan unchanged: auth half-step shuffles
+    # dst-ward (REPARTITION(p, dst), partition-local SUM), hub half-step
+    # consumes the fresh authorities via the dst-partitioned edge copy
+    # (zero exchanges on the join) then shuffles src-ward, and the final
+    # three-way merge runs SHUFFLE_HASH with the lagged delta in the same
+    # select.
+    spark = edges.sparkSession
+    e_view = fresh_view(e, "pcd_hits_e")
+    ed_view = fresh_view(e_dst, "pcd_hits_edst")
+    state_view = fresh_view(init, "pcd_hits_state")
+
     def step(state: DataFrame, i: int) -> DataFrame:
         sa = float(extras.get("sa") or 1.0)
         sh = float(extras.get("sh") or 1.0)
-        cur = state.select(
-            "vid",
-            (F.col("a_raw") / F.lit(sa)).alias("a_n"),
-            (F.col("h_raw") / F.lit(sh)).alias("h_n"),
-            "a_prev",
-        )
-        # auth half-step: hub mass flows along edges to dst
-        a_new = (
-            e.hint("shuffle_hash")
-            .join(cur.select(F.col("vid").alias("src"), "h_n"), "src")
-            .select("dst", "h_n")
-            .repartition(p, "dst")
-            .groupBy("dst")
-            .agg(F.sum("h_n").alias("a_new"))
-            .withColumnRenamed("dst", "vid")
-        )
-        # hub half-step: the NEW authority flows back along edges to src;
-        # e_dst and a_new (fresh out of its dst-keyed agg) are both already
-        # hash-partitioned on dst, so this join plans with zero exchanges
-        h_new = (
-            e_dst.hint("shuffle_hash")
-            .join(a_new.withColumnRenamed("vid", "dst").hint("shuffle_hash"), "dst")
-            .select("src", "a_new")
-            .repartition(p, "src")
-            .groupBy("src")
-            .agg(F.sum("a_new").alias("h_new"))
-            .withColumnRenamed("src", "vid")
-        )
-        return (
-            cur.join(a_new.hint("shuffle_hash"), "vid", "left")
-            .join(h_new.hint("shuffle_hash"), "vid", "left")
-            .select(
-                "vid",
-                F.coalesce("a_new", F.lit(0.0)).alias("a_raw"),
-                F.coalesce("h_new", F.lit(0.0)).alias("h_raw"),
-                F.col("a_n").alias("a_prev"),
-                # the lagged delta compares steps i-1 and i-2; at i=1 both
-                # are the init vector (identically 0) — mask so the loop
-                # can't declare convergence before any real half-step lands
-                (
-                    F.lit(1.0)
-                    if i == 1
-                    else F.abs(F.col("a_n") - F.col("a_prev"))
-                ).alias("_delta"),
-            )
-        )
+        # the lagged delta compares steps i-1 and i-2; at i=1 both are the
+        # init vector (identically 0) — mask so the loop can't declare
+        # convergence before any real half-step lands
+        delta_expr = "1.0" if i == 1 else "ABS(c.a_n - c.a_prev)"
+        state.createOrReplaceTempView(state_view)
+        return spark.sql(f"""
+            WITH cur AS (
+              SELECT vid, a_raw / {sa!r} AS a_n, h_raw / {sh!r} AS h_n,
+                     a_prev
+              FROM {state_view}),
+            anew AS (
+              SELECT dst AS vid, SUM(h_n) AS a_new
+              FROM (SELECT /*+ REPARTITION({p}, dst), SHUFFLE_HASH(e) */
+                           e.dst, c.h_n
+                    FROM {e_view} e JOIN cur c ON e.src = c.vid) m
+              GROUP BY dst),
+            hnew AS (
+              SELECT src AS vid, SUM(a_new) AS h_new
+              FROM (SELECT /*+ REPARTITION({p}, src), SHUFFLE_HASH(ed) */
+                           ed.src, a.a_new
+                    FROM {ed_view} ed JOIN anew a ON ed.dst = a.vid) m
+              GROUP BY src)
+            SELECT /*+ SHUFFLE_HASH(a), SHUFFLE_HASH(h) */ c.vid,
+                   COALESCE(a.a_new, 0.0) AS a_raw,
+                   COALESCE(h.h_new, 0.0) AS h_raw,
+                   c.a_n AS a_prev,
+                   {delta_expr} AS _delta
+            FROM cur c
+            LEFT JOIN anew a ON c.vid = a.vid
+            LEFT JOIN hnew h ON c.vid = h.vid""")
 
     _secs: list[float] = []
     final, iters, metrics = run_supersteps(
@@ -159,6 +157,7 @@ def hits(
         (F.col("a_raw") / F.lit(sa)).alias("authority"),
         (F.col("h_raw") / F.lit(sh)).alias("hub"),
     )
+    drop_views(spark, e_view, ed_view, state_view)
     e.unpersist()
     e_dst.unpersist()
     verts.unpersist()
