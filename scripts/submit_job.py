@@ -24,7 +24,7 @@ def main() -> None:
                              "modularity", "lcc", "sssp", "louvain", "hits",
                              "scc", "hyperball", "harmonic", "betweenness",
                              "ktruss", "coreness", "mis", "projection",
-                             "butterflies", "coloring"])
+                             "butterflies", "coloring", "katz"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -42,6 +42,7 @@ def main() -> None:
 
     from pcd_spark.graph import (
         betweenness_centrality,
+        katz_centrality,
         bipartite_projection,
         butterfly_counts,
         coreness,
@@ -100,6 +101,12 @@ def main() -> None:
             ap.error("--algo sssp requires at least one --source")
         res = shortest_paths(edges, args.source, max_iter=args.max_iter,
                              store=store, stats_out=stats)
+    elif args.algo == "katz":
+        from pcd_spark.graph.edges import symmetrize
+
+        res = katz_centrality(symmetrize(edges), alpha=None,
+                              max_iter=args.max_iter, store=store,
+                              stats_out=stats)
     elif args.algo == "hits":
         res = hits(edges, max_iter=args.max_iter, store=store, stats_out=stats)
     elif args.algo == "scc":
