@@ -52,7 +52,11 @@ PLAN_SWEEP = [
     "k26_bipartite_projection", "k28_butterflies",
     "x16_cross_doc_chunks", "x17_sequence_packing",
     "x18_quality_downsample", "k31_conductance",
+    "x19_source_quality_gate",
 ]
+# x20_boilerplate_grams eagerly localCheckpoints its gram table (a job),
+# so it joins x4/x10 in the excluded-from-sweep set; its no-cartesian
+# property holds by construction (explode + equi-joins only).
 # v1_cosine_topk is deliberately absent: brute-force cosine IS an all-pairs
 # scored scan (the documented exactness baseline for v2/v4) — its plan is
 # asserted separately to be the acceptable form (broadcast probes, stream
