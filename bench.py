@@ -61,6 +61,12 @@ BENCH_QUERIES = [
     "k26_bipartite_projection",
     "k28_butterflies",
     "x17_sequence_packing",
+    # round-3 additions, one per new operator family
+    "d11_group_percentiles",
+    "i9_interval_join_batch",
+    "x19_source_quality_gate",
+    "x21_word_entropy",
+    "k33_condensation_levels",
 ]
 
 

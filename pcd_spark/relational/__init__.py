@@ -20,6 +20,12 @@ _ALL: dict = {**_CORE, **_TEXT, **_GRAPH}
 # representative;
 # the changed-this-round queries (d8, x4, k9, k19) are all in-window so
 # their fixes get re-verified.
+# Window policy (round 3), same rule: unchanged-green f2, h2, j3, i3, x15,
+# x16, k17 vacate slots for (a) e6 — rebuilt this round on the distributed
+# global_rank, needs driver re-verification — and (b) the round-3
+# SQL-oracled operators that have never had a driver row: x19, x20, d11,
+# i9, x21, k33. F keeps f1/f3, H keeps h1/h9, J keeps j2 (+ x21 is a
+# pandas-UDF row), I keeps i4/i8/i9, X and K keep many.
 _PRIORITY = [
     # B. projection / filters (b2..b5 -> round-1 green, pytest mirror)
     "b1_project_cast",
@@ -27,27 +33,29 @@ _PRIORITY = [
     "c1_join_inner_agg", "c9_asof_join",
     # D. aggregation (d2/d3/d4 -> round-1 green, pytest mirror)
     "d1_groupby_agg", "d6_deterministic_argmax", "d8_collect_set",
+    "d11_group_percentiles",
     # E. windows (e2..e6 -> round-1 green, pytest mirror)
-    "e1_rownum_latest",
+    "e1_rownum_latest", "e6_ntile_percent_rank",
     # F. sort / limit / top-k
-    "f1_global_sort", "f2_limit", "f3_global_topk",
+    "f1_global_sort", "f3_global_topk",
     # G. set ops (intersect/except -> pytest mirror)
     "g1_union",
     # H. scalar function families (string/date/math/array -> pytest mirror)
-    "h1_sha256", "h2_regexp_extract_all", "h9_map_functions",
+    "h1_sha256", "h9_map_functions",
     # I. streaming batch twins
-    "i3_sliding_window_batch", "i4_session_window_batch",
-    "i8_distinct_users_batch",
+    "i4_session_window_batch",
+    "i8_distinct_users_batch", "i9_interval_join_batch",
     # J. pandas/Arrow surfaces
-    "j2_blob_digest", "j3_scalar_pandas_udf",
+    "j2_blob_digest",
     # X. dedup / text analysis / data quality (x5/x8 -> pytest mirror; x10 is
     # the composite LSH -> connected-components dedup-clustering showcase)
     "x1_dedup_exact", "x2_minhash_signature",
     "x4_ngram_jaccard_pairs",
     "x9_simhash", "x10_neardup_clusters", "x11_repetition_metrics",
     "x12_decontamination", "x13_pii_scrub", "x14_dedup_keep_best",
-    "x15_split_assignment", "x16_cross_doc_chunks", "x17_sequence_packing",
-    "x18_quality_downsample",
+    "x17_sequence_packing",
+    "x18_quality_downsample", "x19_source_quality_gate",
+    "x20_boilerplate_grams", "x21_word_entropy",
     # V. similarity search
     "v1_cosine_topk", "v2_lsh_sign_buckets", "v3_embedding_neardup",
     "v4_ivf_topk",
@@ -57,10 +65,14 @@ _PRIORITY = [
     # numpy/networkx-pinned)
     "k1_degrees", "k4_connected_components", "k6_triangles", "k9_modularity",
     "k11_clustering_coefficient", "k12_bfs_distances", "k16_link_prediction",
-    "k17_assortativity", "k19_neighbor_features", "k20_scc",
+    "k19_neighbor_features", "k20_scc",
     "k26_bipartite_projection", "k28_butterflies", "k31_conductance",
+    "k33_condensation_levels",
     # ---- position 51+: registered, pytest-oracled, outside driver window ----
     "d9_rollup", "d10_grouped_pandas_udaf",
+    "f2_limit", "h2_regexp_extract_all", "j3_scalar_pandas_udf",
+    "i3_sliding_window_batch", "x15_split_assignment",
+    "x16_cross_doc_chunks", "k17_assortativity",
     "b2_filter_range", "b3_filter_in_null_like",
     "b4_bool_combinators", "b5_conditional_projection",
     "c2_join_broadcast_dims", "c3_join_shuffle_hash_hint",
@@ -69,7 +81,6 @@ _PRIORITY = [
     "d2_global_agg", "d3_distinct", "d4_count_distinct",
     "d5_approx_count_distinct", "d9b_cube",
     "e2_dense_rank", "e3_topk_per_group", "e4_lag_delta", "e5_moving_avg",
-    "e6_ntile_percent_rank",
     "g2_intersect", "g3_except", "h3_string_basics", "h5_date_functions",
     "h6_math", "h7_array_functions", "h8_higher_order_dot",
     "h10_json", "i2_tumbling_window_batch",
@@ -82,8 +93,7 @@ _PRIORITY = [
     "k21_hyperball", "k22_harmonic_centrality", "k23_betweenness",
     "k24_ktruss", "k25_eigenvector", "k27_coreness", "k29_mis",
     "k30_coloring",
-    # round-3 additions (x19/x20 SQL-oracled; k32 nx-pinned)
-    "x19_source_quality_gate", "x20_boilerplate_grams", "k32_katz",
+    "k32_katz",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

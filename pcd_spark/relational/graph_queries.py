@@ -827,3 +827,76 @@ def k31(spark, sf):
     )
     labels = cust.unionByName(supp)
     return conductance_terms(cust_supp_edges(spark, sf), labels)
+
+
+# K33: condensation levels run on a THINNED directed flow graph (back
+# edges only for high-quantity returns) — the full flow graph at sf0.01
+# collapses into one giant SCC, a 2-node condensation that would exercise
+# nothing. Thinning keeps a mix: one large SCC, many singletons, 3 levels.
+_THIN_FLOW_SQL = f"""
+  SELECT DISTINCT o_custkey AS src, {SUPPLIER_OFFSET} + l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey < 150
+  UNION
+  SELECT DISTINCT {SUPPLIER_OFFSET} + l_suppkey AS src, o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey < 150 AND l_returnflag = 'R' AND l_quantity > 47
+"""
+
+
+def thin_flow_edges(spark, sf):
+    li, o = load(spark, sf, "lineitem"), load(spark, sf, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("o_custkey") < 150
+    )
+    fwd = j.select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).alias("dst"),
+    )
+    back = j.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 47)
+    ).select(
+        (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).alias("src"),
+        F.col("o_custkey").alias("dst"),
+    )
+    return fwd.unionByName(back).distinct()
+
+
+@g(
+    "k33_condensation_levels",
+    f"""WITH RECURSIVE
+        edges AS ({_THIN_FLOW_SQL}),
+        verts AS (SELECT src AS vid FROM edges
+                  UNION SELECT dst FROM edges),
+        reach(v, u) AS (
+          SELECT vid, vid FROM verts
+          UNION
+          SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u),
+        scc AS (
+          SELECT r1.v AS vid, MIN(r1.u) AS component
+          FROM reach r1 JOIN reach r2 ON r1.v = r2.u AND r1.u = r2.v
+          GROUP BY r1.v),
+        cedges AS (
+          SELECT DISTINCT s1.component AS csrc, s2.component AS cdst
+          FROM edges e JOIN scc s1 ON s1.vid = e.src
+                       JOIN scc s2 ON s2.vid = e.dst
+          WHERE s1.component <> s2.component),
+        paths(c, d) AS (
+          SELECT component, 0 FROM (SELECT DISTINCT component FROM scc)
+          UNION ALL
+          SELECT ce.cdst, p.d + 1 FROM paths p JOIN cedges ce ON ce.csrc = p.c),
+        lvl AS (SELECT c AS component, MAX(d) AS level FROM paths GROUP BY c)
+        SELECT s.vid, s.component, CAST(l.level AS INT) AS level
+        FROM scc s JOIN lvl l ON l.component = s.component""",
+)
+def k33(spark, sf):
+    """K33: SCC condensation + topological levels of the thinned order/
+    return flow graph — on a code-dependency graph this is the parallel
+    build schedule: each cyclic import group (SCC) is one node, its level
+    is the earliest build wave that can run it. Oracle: k20's mutual-
+    reachability CTE for the SCCs, then a second recursive CTE walking the
+    condensation for longest-path depth (terminates because the
+    condensation is a DAG)."""
+    from pcd_spark.graph import topological_levels
+
+    return topological_levels(thin_flow_edges(spark, sf))

@@ -982,3 +982,67 @@ def i8b(spark, sf):
         )
         .select(F.col("w.start").alias("win_start"), "n_users", "n_events")
     )
+
+
+@q(
+    "d11_group_percentiles",
+    """SELECT l_returnflag,
+              ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+              ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+              ROUND(median(l_quantity), 4) AS med_qty
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def d11(spark, sf):
+    # D11: exact grouped percentiles (linear interpolation — Spark
+    # `percentile` == DuckDB `quantile_cont`). Exact percentile sorts each
+    # group, fine when groups are few and bounded; at corpus scale the
+    # engine-portable answer is approx_percentile (t-digest, d5-style
+    # engine-specific values — which is exactly why the ORACLED row is the
+    # exact form).
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )
+
+
+@q(
+    "i9_interval_join_batch",
+    """SELECT a.event_id AS click_id,
+              COUNT(b.ts) AS n_purchases,
+              ROUND(COALESCE(SUM(b.value), 0.0), 4) AS amt
+       FROM (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'click') a
+       LEFT JOIN (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') b
+         ON a.user_id = b.user_id
+        AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 30 MINUTE
+       GROUP BY a.event_id""",
+)
+def i9b(spark, sf):
+    # I9 batch twin of the stream-stream interval join (streaming form:
+    # pcd_spark.streaming.ingest.click_purchase_join — equi-key user_id +
+    # event-time range, both sides watermarked so state is bounded by the
+    # interval). Batch plans the same thing as an equi-join on user_id with
+    # the time range as a post-join filter — no theta explosion.
+    e = load(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    j = a.join(
+        b,
+        (a["user_id"] == b["user_id"])
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    )
+    return j.groupBy("click_id").agg(
+        F.count("p_ts").alias("n_purchases"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("amt"),
+    )

@@ -1405,3 +1405,69 @@ def x20(spark, sf):
             F.col("n_boiler_grams").cast("double") / F.col("n_grams"), 6
         ).alias("boilerplate_frac"),
     )
+
+
+@qt(
+    "x21_word_entropy",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                     FROM documents WHERE length(text) > 0),
+       cnt AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS c
+               FROM toks WHERE w <> '' GROUP BY 1, 2),
+       tot AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS k FROM cnt GROUP BY 1)
+       SELECT c.doc_id,
+              CAST(t.n AS BIGINT) AS n_words,
+              CAST(t.k AS BIGINT) AS n_types,
+              ROUND(-SUM((c.c / t.n) * LOG2(c.c / t.n)), 6) AS word_entropy,
+              ROUND(t.k / t.n, 6) AS ttr
+       FROM cnt c JOIN tot t USING (doc_id)
+       GROUP BY c.doc_id, t.n, t.k""",
+)
+def x21(spark, sf):
+    """X21: word-distribution quality signals — unigram word entropy and
+    type-token ratio per document. Low-entropy / low-TTR documents are
+    keyboard-mash, SEO keyword stuffing, and template spam; both are
+    standard pretraining-quality features alongside X6/X11 [PUB: Rae et
+    al. 2021 (Gopher) quality heuristics].
+
+    Spark shape: a per-doc histogram is awkward for builtins (no
+    reduce-by-key inside an array) and ruinous as an explode+groupBy at
+    100 TB — (doc_id, word) would shuffle the whole tokenized corpus. One
+    Arrow-batched pandas UDF computes all four stats scan-side per row:
+    zero shuffle, text never leaves the scan stage. The DuckDB oracle IS
+    the explode+groupBy form — affordable at sf0.01, and its agreement
+    proves the UDF semantics."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's hint inference rejects (same note as j3) — the
+    # annotation-free form takes the legacy SCALAR path, Series -> DataFrame
+    def _stats(texts):
+        out = {"n_words": [], "n_types": [], "word_entropy": [], "ttr": []}
+        for s in texts:
+            toks = [t for t in (s or "").split(" ") if t]
+            n = len(toks)
+            if n == 0:
+                out["n_words"].append(0)
+                out["n_types"].append(0)
+                out["word_entropy"].append(0.0)
+                out["ttr"].append(0.0)
+                continue
+            _, counts = np.unique(np.asarray(toks, dtype=object),
+                                  return_counts=True)
+            p = counts / n
+            out["n_words"].append(n)
+            out["n_types"].append(len(counts))
+            out["word_entropy"].append(round(float(-(p * np.log2(p)).sum()), 6))
+            out["ttr"].append(round(len(counts) / n, 6))
+        return pd.DataFrame(out)
+
+    stats = pandas_udf(
+        _stats,
+        "struct<n_words:long, n_types:long, word_entropy:double, ttr:double>",
+    )
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    return d.select("doc_id", stats("text").alias("s")).select(
+        "doc_id", "s.n_words", "s.n_types", "s.word_entropy", "s.ttr"
+    )

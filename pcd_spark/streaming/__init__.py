@@ -6,4 +6,5 @@ from pcd_spark.streaming.ingest import (  # noqa: F401
     dedup_edges_within_watermark,
     start_edge_ingestion,
     stateful_user_totals,
+    click_purchase_join,
 )

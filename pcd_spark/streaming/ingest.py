@@ -189,3 +189,42 @@ def approx_distinct_users(
             "n_events",
         )
     )
+
+
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """I9: stream-stream interval join — each click row joins the purchases
+    by the SAME user whose event time lands in [click.ts, click.ts+horizon).
+
+    State-boundedness is the whole design: both sides carry a watermark and
+    the join condition bounds purchase.ts relative to click.ts, so Spark can
+    evict a buffered click once the purchase-side watermark passes
+    click.ts + horizon, and a buffered purchase once the click-side
+    watermark passes purchase.ts — state is O(rate x horizon), never the
+    stream history. An unbounded (no time-bound) stream-stream inner join
+    would be refused by the planner for exactly this reason.
+
+    Batch twin with DuckDB oracle: relational.queries.i9b (adds the
+    per-click COUNT/SUM rollup, which streaming would do as a second
+    watermarked agg or in the sink)."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("amount"),
+    ).withWatermark("p_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("click_id", F.col("c_user").alias("user_id"), "click_ts", "p_ts", "amount")

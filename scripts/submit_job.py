@@ -24,7 +24,7 @@ def main() -> None:
                              "modularity", "lcc", "sssp", "louvain", "hits",
                              "scc", "hyperball", "harmonic", "betweenness",
                              "ktruss", "coreness", "mis", "projection",
-                             "butterflies", "coloring", "katz"])
+                             "butterflies", "coloring", "katz", "condense"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -112,6 +112,11 @@ def main() -> None:
     elif args.algo == "scc":
         res = strongly_connected_components(edges, max_iter=args.max_iter,
                                             stats_out=stats)
+    elif args.algo == "condense":
+        from pcd_spark.graph import topological_levels
+
+        res = topological_levels(edges, max_iter=args.max_iter,
+                                 stats_out=stats)
     elif args.algo == "hyperball":
         res = hyperball(edges, max_iter=args.max_iter, store=store,
                         stats_out=stats)

@@ -369,3 +369,61 @@ def test_incremental_ingestion_then_cc_resume(spark, stream_dirs, tmp_path):
         ).collect()
     }
     assert warm == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 99: 10}
+
+
+def test_stream_stream_interval_join_equals_batch(spark, stream_dirs):
+    """I9: stream-stream interval join — clicks x purchases within 30 min,
+    same user, both sides watermarked. Compared against the identical batch
+    join over the full event set (the streaming inner join must emit exactly
+    the batch pairs once all data has arrived)."""
+    from pcd_spark.streaming import click_purchase_join, stream_events
+
+    src, ckpt, _ = stream_dirs
+    # user 1: click @0, purchases @5 and @25 (both in [0, 30)) and @35 (out)
+    # user 2: click @10, purchase @9 (before click -> out), @40 (in [10,40))
+    # user 3: purchase only -> never joins
+    rows = [
+        (0, 1, "click", 0.0), (5, 1, "purchase", 10.0),
+        (25, 1, "purchase", 20.0), (35, 1, "purchase", 40.0),
+        (9, 2, "purchase", 5.0), (10, 2, "click", 0.0),
+        (40, 2, "purchase", 7.0), (15, 3, "purchase", 3.0),
+        # watermark movers: late rows far ahead so all prior state flushes
+        (600, 1, "click", 0.0), (600, 1, "purchase", 1.0),
+    ]
+    batch_df = _mk_events(spark, rows)
+    _drop_file(batch_df, src, "b0.parquet")
+
+    ev = stream_events(spark, src)
+    joined = click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    got = {
+        (r["click_id"], r["user_id"], r["amount"])
+        for r in _run_to_memory(joined, "ssj_t", ckpt).collect()
+    }
+
+    clicks = batch_df.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purch = batch_df.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("amount"),
+    )
+    want = {
+        (r["click_id"], r["c_user"], r["amount"])
+        for r in clicks.join(
+            purch,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (
+                F.col("p_ts")
+                < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        ).collect()
+    }
+    assert got == want
+    assert len(want) >= 3  # the fixture actually exercises in/out boundaries
