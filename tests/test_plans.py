@@ -53,6 +53,11 @@ PLAN_SWEEP = [
     "x16_cross_doc_chunks", "x17_sequence_packing",
     "x18_quality_downsample", "k31_conductance",
     "x19_source_quality_gate",
+    # round-3 additions: d11 exact percentiles, i9 interval join (must stay
+    # an equi-join with the range as post-join condition, never a BNLJ),
+    # x21 Arrow-batched entropy UDF (ArrowEvalPython allowed, BatchEval
+    # banned)
+    "d11_group_percentiles", "i9_interval_join_batch", "x21_word_entropy",
 ]
 # x20_boilerplate_grams eagerly localCheckpoints its gram table (a job),
 # so it joins x4/x10 in the excluded-from-sweep set; its no-cartesian
