@@ -533,7 +533,10 @@ def x9(spark, sf):
     # majority vote over tokens (tie -> 1). One explode + one hash-groupBy
     # with 48 codegen'd SUMs — shuffle carries (doc_id, 48 longs), never the
     # text; near-dup candidates are then hamming-close fingerprints.
-    d = load(spark, sf, "documents")
+    # _spread: the explode + 48 partial SUMs all run in the scan stage, so a
+    # single-row-group fixture file serializes the whole hash workload on
+    # one core without it (no-op on multi-split data).
+    d = _spread(load(spark, sf, "documents"))
     toks = d.select(
         "doc_id",
         F.explode(

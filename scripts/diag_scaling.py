@@ -7,6 +7,7 @@ times plus executor-aggregated shuffle/CPU metrics (UI REST API). Usage:
   python scripts/diag_scaling.py matrix [edges]
   python scripts/diag_scaling.py sweep [edges]      # local[32], p in {32,64,128}
   python scripts/diag_scaling.py iopair [edges]     # local[8] vs local[32], shuffle bytes/s
+  python scripts/diag_scaling.py effpair [edges]    # 8->32 efficiency, p=2*cores, interleaved reps
   python scripts/diag_scaling.py bandwidth          # numpy memory-bandwidth probe
 
 `confs` are extra spark confs as k=v pairs.
@@ -164,6 +165,33 @@ def iopair(edges: int) -> None:
         _run_worker("pagerank", "df", cores, edges, PARTS)
 
 
+def effpair(edges: int, reps: int = 3) -> None:
+    """8->32-core efficiency with the p=2x-cores discipline the round-3
+    sweep found (BENCH/BASELINE.md): local[8]/p=16 vs local[32]/p=64,
+    interleaved reps, per-step-index MIN across reps (the headline
+    protocol's steal-resistant estimator), efficiency = speedup/4."""
+    step_mins: dict[int, list[float]] = {}
+    for rep in range(reps):
+        for cores in (8, 32):
+            r = _run_worker("pagerank", "df", cores, edges, 2 * cores)
+            if r is None or not r.get("step_secs"):
+                continue
+            cur = step_mins.setdefault(cores, list(r["step_secs"]))
+            step_mins[cores] = [min(a, b) for a, b in zip(cur, r["step_secs"])]
+        print(json.dumps({"rep": rep, "step_min_sums": {
+            c: round(sum(v), 2) for c, v in step_mins.items()}}))
+    if 8 in step_mins and 32 in step_mins:
+        t8, t32 = sum(step_mins[8]), sum(step_mins[32])
+        eff = (t8 / t32) / 4
+        print(json.dumps({
+            "protocol": "per-step-index min over interleaved reps, p=2*cores",
+            "sec_5steps_local8_p16": round(t8, 2),
+            "sec_5steps_local32_p64": round(t32, 2),
+            "speedup_8_to_32": round(t8 / t32, 3),
+            "efficiency_8_to_32": round(eff, 3),
+        }))
+
+
 def bandwidth() -> None:
     """numpy memory-bandwidth probe: aggregate copy GB/s at 1/8/32 parallel
     processes. A copy moves 2x its size (read+write); shuffle moves more
@@ -205,6 +233,8 @@ if __name__ == "__main__":
         sweep(int(sys.argv[2]) if len(sys.argv) > 2 else 80_000_000)
     elif sys.argv[1] == "iopair":
         iopair(int(sys.argv[2]) if len(sys.argv) > 2 else 80_000_000)
+    elif sys.argv[1] == "effpair":
+        effpair(int(sys.argv[2]) if len(sys.argv) > 2 else 80_000_000)
     elif sys.argv[1] == "bandwidth":
         bandwidth()
     else:

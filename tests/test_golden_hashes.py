@@ -44,6 +44,29 @@ GOLDEN = {
     "k27_coreness": (2000, "ffe3794fce846eb2"),
     "k29_mis": (2000, "fb94e77065599eb1"),
     "k30_coloring": (2000, "c45e28f48e746573"),
+    # round 3: the float-valued iterative queries too. Each hash below was
+    # verified IDENTICAL between (cores=8, sp=16) and (cores=4, sp=8)
+    # sessions before pinning — the 6-dp canonical rounding absorbs
+    # partial-aggregation reorder noise, and the fixpoints themselves are
+    # contraction maps, so parallelism does not move the 6th decimal.
+    # Every rows-only driver entry except m2_blob_features (array<float>
+    # column — not hashable in the driver canonicalization; rows+schema
+    # checked there, exactness numpy-pinned in test_multimodal.py) now has
+    # a value-hash somewhere.
+    "d5_approx_count_distinct": (1, "9a3efad7c0854feb"),
+    "v5_kmeans_clusters": (500, "1051e604b425584c"),
+    "v6_pq_topk": (15, "d1863ea2835f7398"),
+    "v7_ivfpq_topk": (15, "c64807c8113edef0"),
+    "k3_pagerank_top20": (20, "a88cea640019f46c"),
+    "k8_corpus_pipeline": (25, "f6e7c8a96590b3e6"),
+    "k13_louvain_communities": (11, "29dba3ba62e43ebd"),
+    "k14_ppr_top20": (20, "249fefd5ca1ca117"),
+    "k15_hits": (50, "1284dd9bccd688f8"),
+    "k21_hyperball": (600, "e73c5365a9eead58"),
+    "k22_harmonic_centrality": (20, "754093c2a6a3d019"),
+    "k23_betweenness": (50, "36f670b659dad309"),
+    "k25_eigenvector": (50, "ce3bb8fc9f608056"),
+    "k32_katz": (50, "7eaceab4ce93cfb5"),
 }
 
 
