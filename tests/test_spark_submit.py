@@ -1,0 +1,82 @@
+"""spark-submit --py-files packaging smoke (SURVEY §7 M6, BASELINE north
+rule "run via spark-submit --py-files on multi-executor clusters").
+
+The deployment path a cluster user actually takes: zip the package, ship it
+with --py-files, drive scripts/submit_job.py as the application. This is a
+different import mechanism from every other test (executors resolve
+pcd_spark from the zip on their PYTHONPATH, not from the repo checkout), so
+it catches packaging regressions — a module the zip misses, an import that
+only resolves from the source tree — that in-process tests cannot.
+
+Runs in its own subprocess JVM on local[2]; asserts CC and condensation
+outputs on hand-checkable graphs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+def _zip_package(tmp_path) -> str:
+    zpath = str(tmp_path / "pcd_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "pcd_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_pyfiles_cc_and_condense(tmp_path):
+    zpath = _zip_package(tmp_path)
+    snap = tmp_path / "g.txt"
+    # two undirected triangles bridged 2-3, plus isolated edge 7-8
+    snap.write_text(
+        "# smoke graph\n0 1\n1 2\n0 2\n3 4\n4 5\n3 5\n2 3\n7 8\n"
+    )
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable,
+           "PYSPARK_DRIVER_PYTHON": sys.executable}
+
+    def submit(algo: str, out: str) -> None:
+        cmd = [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zpath,
+            os.path.join(REPO, "scripts", "submit_job.py"),
+            "--algo", algo, "--snap", str(snap), "--out", out,
+        ]
+        p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           cwd=str(tmp_path), timeout=600)
+        assert p.returncode == 0, p.stderr[-3000:]
+
+    cc_out = str(tmp_path / "cc_out")
+    submit("cc", cc_out)
+    got = dict(duckdb.sql(
+        f"SELECT vid, component FROM read_parquet('{cc_out}/*.parquet')"
+    ).fetchall())
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 7: 7, 8: 7}
+
+    # directed 2-cycle chain for the condensation path: {0,1} -> {2,3}
+    snap.write_text("0 1\n1 0\n1 2\n2 3\n3 2\n")
+    cd_out = str(tmp_path / "cd_out")
+    submit("condense", cd_out)
+    rows = duckdb.sql(
+        f"SELECT vid, component, level FROM read_parquet('{cd_out}/*.parquet')"
+    ).fetchall()
+    assert sorted(rows) == [(0, 0, 0), (1, 0, 0), (2, 2, 1), (3, 2, 1)]
