@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "i9_interval_join_batch",
     "x19_source_quality_gate",
     "x21_word_entropy",
+    "x22_containment_pairs",
     "k33_condensation_levels",
 ]
 

@@ -54,8 +54,11 @@ _PRIORITY = [
     "x9_simhash", "x10_neardup_clusters", "x11_repetition_metrics",
     "x12_decontamination", "x13_pii_scrub", "x14_dedup_keep_best",
     "x17_sequence_packing",
-    "x18_quality_downsample", "x19_source_quality_gate",
+    "x19_source_quality_gate",
     "x20_boilerplate_grams", "x21_word_entropy",
+    # x22 (round-3 late addition, never driver-verified) takes the slot of
+    # unchanged-green x18 (stateless hash threshold, r2 green, preflight'd)
+    "x22_containment_pairs",
     # V. similarity search
     "v1_cosine_topk", "v2_lsh_sign_buckets", "v3_embedding_neardup",
     "v4_ivf_topk",
@@ -72,7 +75,7 @@ _PRIORITY = [
     "d9_rollup", "d10_grouped_pandas_udaf",
     "f2_limit", "h2_regexp_extract_all", "j3_scalar_pandas_udf",
     "i3_sliding_window_batch", "x15_split_assignment",
-    "x16_cross_doc_chunks", "k17_assortativity",
+    "x16_cross_doc_chunks", "x18_quality_downsample", "k17_assortativity",
     "b2_filter_range", "b3_filter_in_null_like",
     "b4_bool_combinators", "b5_conditional_projection",
     "c2_join_broadcast_dims", "c3_join_shuffle_hash_hint",

@@ -1474,3 +1474,66 @@ def x21(spark, sf):
     return d.select("doc_id", stats("text").alias("s")).select(
         "doc_id", "s.n_words", "s.n_types", "s.word_entropy", "s.ttr"
     )
+
+
+@qt(
+    "x22_containment_pairs",
+    """WITH sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, LENGTH(text) - 3),
+                                             i -> SUBSTR(text, i, 4))) AS grams
+         FROM documents WHERE n_chars BETWEEN 100 AND 200
+       )
+       SELECT a.doc_id AS container, b.doc_id AS contained,
+              ROUND(CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / LEN(b.grams), 4) AS containment
+       FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+       WHERE CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / LEN(b.grams) > 0.5""",
+)
+def x22(spark, sf):
+    """X22: asymmetric shingle CONTAINMENT — c(b in a) = |grams(a) n
+    grams(b)| / |grams(b)|. Jaccard (x4) is symmetric and misses subset
+    reuse: a long page quoting a short doc verbatim has low Jaccard (union
+    is dominated by the long side) but containment ~1.0 — the quote/
+    boilerplate-reuse signal a dedup pipeline needs BESIDE near-dup pairs
+    [PUB: Broder 1997 resemblance vs containment; Shrivastava & Li 2015
+    asymmetric minwise hashing].
+
+    Spark shape: the same inverted-index set-similarity join as x4 (postings
+    equi-join counts the intersection; never an all-pairs theta join), with
+    d1 != d2 kept DIRECTED so each ordered pair scores against the contained
+    side's gram count. Same 100-TB story as x4: cost = sum over grams of
+    freq^2, prefix filtering is the known refinement, x3/v3 the approximate
+    scale paths."""
+    d = _spread(
+        load(spark, sf, "documents").filter(F.col("n_chars").between(100, 200))
+    )
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 4),
+                lambda i: F.expr("text").substr(i, F.lit(4)),
+            )
+        ).alias("grams"),
+    ).localCheckpoint(eager=True)  # GC-scoped, not a session-lifetime persist
+    sizes = sh.select("doc_id", F.size("grams").alias("sz"))
+    post = sh.select("doc_id", F.explode("grams").alias("gram"))
+    inter_df = (
+        post.select(F.col("doc_id").alias("container"), "gram")
+        .join(post.select(F.col("doc_id").alias("contained"), "gram"), "gram")
+        .filter(F.col("container") != F.col("contained"))
+        .groupBy("container", "contained")
+        .agg(F.count("*").alias("inter"))
+    )
+    cont = F.col("inter").cast("double") / F.col("sz")
+    return (
+        inter_df.join(
+            sizes.select(F.col("doc_id").alias("contained"), "sz"), "contained"
+        )
+        .select(
+            "container", "contained", F.round(cont, 4).alias("containment")
+        )
+        .filter(cont > 0.5)
+    )

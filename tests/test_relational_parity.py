@@ -96,6 +96,16 @@ def test_x4_plan_has_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_x22_plan_has_no_cartesian(spark, sf_dir):
+    """x22 shares x4's inverted-index shape and its failure mode: the
+    directed d1 != d2 predicate must stay a post-equi-join filter on the
+    postings join, never degrade to an all-pairs plan."""
+    df = REGISTRY["x22_containment_pairs"]["spark"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 DRIVER_WINDOW = list(REGISTRY)[:50]
 
 
