@@ -41,10 +41,13 @@ _PRIORITY = [
     # G. set ops (intersect/except -> pytest mirror)
     "g1_union",
     # H. scalar function families (string/date/math/array -> pytest mirror)
-    "h1_sha256", "h9_map_functions",
+    "h1_sha256",
     # I. streaming batch twins
     "i4_session_window_batch",
     "i8_distinct_users_batch", "i9_interval_join_batch",
+    # i10 (round-3 late addition, never driver-verified) takes the slot of
+    # unchanged-green h9 (r2 green, preflight'd; H keeps h1 in-window)
+    "i10_stream_static_join_batch",
     # J. pandas/Arrow surfaces
     "j2_blob_digest",
     # X. dedup / text analysis / data quality (x5/x8 -> pytest mirror; x10 is
@@ -73,7 +76,8 @@ _PRIORITY = [
     "k33_condensation_levels",
     # ---- position 51+: registered, pytest-oracled, outside driver window ----
     "d9_rollup", "d10_grouped_pandas_udaf",
-    "f2_limit", "h2_regexp_extract_all", "j3_scalar_pandas_udf",
+    "f2_limit", "h2_regexp_extract_all", "h9_map_functions",
+    "j3_scalar_pandas_udf",
     "i3_sliding_window_batch", "x15_split_assignment",
     "x16_cross_doc_chunks", "x18_quality_downsample", "k17_assortativity",
     "b2_filter_range", "b3_filter_in_null_like",

@@ -1046,3 +1046,32 @@ def i9b(spark, sf):
         F.count("p_ts").alias("n_purchases"),
         F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("amt"),
     )
+
+
+@q(
+    "i10_stream_static_join_batch",
+    """SELECT c.c_mktsegment AS segment,
+              COUNT(*) AS n_events,
+              ROUND(SUM(e.value), 4) AS total_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY c.c_mktsegment""",
+)
+def i10b(spark, sf):
+    # I10 batch twin of the stream-static enrichment join (streaming form:
+    # pcd_spark.streaming.ingest.enrich_with_dimension — stateless, the
+    # static dim re-resolved per micro-batch). The dim side is small per
+    # entity, so the planner broadcasts it; the rollup is the standard
+    # post-enrichment segment report.
+    from pcd_spark.streaming.ingest import enrich_with_dimension
+
+    e = load(spark, sf, "events")
+    c = load(spark, sf, "customer")
+    return (
+        enrich_with_dimension(e, c)
+        .select(F.col("c_mktsegment").alias("segment"), "value")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -228,3 +228,31 @@ def click_purchase_join(
         & (F.col("p_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
         "inner",
     ).select("click_id", F.col("c_user").alias("user_id"), "click_ts", "p_ts", "amount")
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple = ("c_mktsegment",),
+) -> DataFrame:
+    """I10: stream-static join — enrich each streaming event with columns
+    from a STATIC dimension table (user/customer attributes).
+
+    This is the stateless streaming join: only the stream side is
+    unbounded, so no watermark and no join state are needed — each
+    micro-batch hash/broadcast-joins against the static side, which Spark
+    re-resolves per batch (a dim refresh is picked up without restarting
+    the query). The 100-TB-corpus shape: the dim is per-entity metadata
+    (O(users), broadcastable or bucket-joinable), the stream is the
+    unbounded fact side; contrast I9, where BOTH sides are unbounded and
+    the time bound is what bounds state.
+
+    Batch twin with DuckDB oracle: relational.queries.i10b (same join +
+    per-segment rollup)."""
+    d = dim.select(
+        F.col(dim_key).alias(key),
+        *[F.col(c) for c in dim_cols],
+    )
+    return events.join(d, key, "inner")

@@ -58,6 +58,7 @@ PLAN_SWEEP = [
     # x21 Arrow-batched entropy UDF (ArrowEvalPython allowed, BatchEval
     # banned)
     "d11_group_percentiles", "i9_interval_join_batch", "x21_word_entropy",
+    "i10_stream_static_join_batch",
 ]
 # x20_boilerplate_grams eagerly localCheckpoints its gram table (a job),
 # so it joins x4/x10 in the excluded-from-sweep set; its no-cartesian

@@ -427,3 +427,40 @@ def test_stream_stream_interval_join_equals_batch(spark, stream_dirs):
     }
     assert got == want
     assert len(want) >= 3  # the fixture actually exercises in/out boundaries
+
+
+def test_stream_static_enrichment_equals_batch(spark, stream_dirs):
+    """I10: stream-static join — events enriched with a static dimension.
+    Stateless (no watermark, no join state); the streamed result must be
+    exactly the batch join, and users missing from the dim drop out (inner
+    semantics)."""
+    from pcd_spark.streaming import enrich_with_dimension, stream_events
+
+    src, ckpt, _ = stream_dirs
+    rows = [
+        (0, 1, "click", 1.0), (5, 2, "view", 2.0),
+        (9, 1, "purchase", 3.5), (12, 99, "click", 4.0),  # 99 not in dim
+    ]
+    batch_df = _mk_events(spark, rows)
+    _drop_file(batch_df, src, "b0.parquet")
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY"), (3, "AUTOMOBILE")],
+        "c_custkey long, c_mktsegment string",
+    )
+
+    enriched = enrich_with_dimension(stream_events(spark, src), dim)
+    got = {
+        (r["event_id"], r["user_id"], r["c_mktsegment"], r["value"])
+        for r in _run_to_memory(enriched, "ssd_t", ckpt).collect()
+    }
+    want = {
+        (r["event_id"], r["user_id"], r["c_mktsegment"], r["value"])
+        for r in batch_df.join(
+            dim.select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            ),
+            "user_id",
+        ).collect()
+    }
+    assert got == want
+    assert len(want) == 3  # the dim-missing user is dropped
