@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "x21_word_entropy",
     "x22_containment_pairs",
     "k33_condensation_levels",
+    # round-3 late additions
+    "e7_sessionization",
+    "d12_grouped_stats",
+    "x23_tfidf_topk",
+    "k34_two_hop_reach",
 ]
 
 

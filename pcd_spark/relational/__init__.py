@@ -26,16 +26,22 @@ _ALL: dict = {**_CORE, **_TEXT, **_GRAPH}
 # SQL-oracled operators that have never had a driver row: x19, x20, d11,
 # i9, x21, k33. F keeps f1/f3, H keeps h1/h9, J keeps j2 (+ x21 is a
 # pandas-UDF row), I keeps i4/i8/i9, X and K keep many.
+# Window policy (round 3, late additions), same rule: the four new
+# SQL-oracled operators e7/d12/x23/k34 take the slots of unchanged-green
+# d8, i4, x13, k9 (all r2-green, code untouched since, preflight'd +
+# pytest-mirrored every run). D keeps d1/d6/d11, I keeps i8/i9/i10
+# (+ e7 is the relational sessionization twin of i4), X keeps 13 reps,
+# K keeps 12.
 _PRIORITY = [
     # B. projection / filters (b2..b5 -> round-1 green, pytest mirror)
     "b1_project_cast",
     # C. joins (broadcast/SHJ/theta/range -> round-1 green, pytest mirror)
     "c1_join_inner_agg", "c9_asof_join",
     # D. aggregation (d2/d3/d4 -> round-1 green, pytest mirror)
-    "d1_groupby_agg", "d6_deterministic_argmax", "d8_collect_set",
-    "d11_group_percentiles",
+    "d1_groupby_agg", "d6_deterministic_argmax",
+    "d11_group_percentiles", "d12_grouped_stats",
     # E. windows (e2..e6 -> round-1 green, pytest mirror)
-    "e1_rownum_latest", "e6_ntile_percent_rank",
+    "e1_rownum_latest", "e6_ntile_percent_rank", "e7_sessionization",
     # F. sort / limit / top-k
     "f1_global_sort", "f3_global_topk",
     # G. set ops (intersect/except -> pytest mirror)
@@ -43,7 +49,6 @@ _PRIORITY = [
     # H. scalar function families (string/date/math/array -> pytest mirror)
     "h1_sha256",
     # I. streaming batch twins
-    "i4_session_window_batch",
     "i8_distinct_users_batch", "i9_interval_join_batch",
     # i10 (round-3 late addition, never driver-verified) takes the slot of
     # unchanged-green h9 (r2 green, preflight'd; H keeps h1 in-window)
@@ -55,13 +60,13 @@ _PRIORITY = [
     "x1_dedup_exact", "x2_minhash_signature",
     "x4_ngram_jaccard_pairs",
     "x9_simhash", "x10_neardup_clusters", "x11_repetition_metrics",
-    "x12_decontamination", "x13_pii_scrub", "x14_dedup_keep_best",
+    "x12_decontamination", "x14_dedup_keep_best",
     "x17_sequence_packing",
     "x19_source_quality_gate",
     "x20_boilerplate_grams", "x21_word_entropy",
     # x22 (round-3 late addition, never driver-verified) takes the slot of
     # unchanged-green x18 (stateless hash threshold, r2 green, preflight'd)
-    "x22_containment_pairs",
+    "x22_containment_pairs", "x23_tfidf_topk",
     # V. similarity search
     "v1_cosine_topk", "v2_lsh_sign_buckets", "v3_embedding_neardup",
     "v4_ivf_topk",
@@ -69,17 +74,19 @@ _PRIORITY = [
     "m3_frame_sample",
     # K. graph (SQL-oracled rows; iterative k3/k5/k8/k10/k13+ are
     # numpy/networkx-pinned)
-    "k1_degrees", "k4_connected_components", "k6_triangles", "k9_modularity",
+    "k1_degrees", "k4_connected_components", "k6_triangles",
     "k11_clustering_coefficient", "k12_bfs_distances", "k16_link_prediction",
     "k19_neighbor_features", "k20_scc",
     "k26_bipartite_projection", "k28_butterflies", "k31_conductance",
-    "k33_condensation_levels",
+    "k33_condensation_levels", "k34_two_hop_reach",
     # ---- position 51+: registered, pytest-oracled, outside driver window ----
-    "d9_rollup", "d10_grouped_pandas_udaf",
+    "d8_collect_set", "d9_rollup", "d10_grouped_pandas_udaf",
     "f2_limit", "h2_regexp_extract_all", "h9_map_functions",
     "j3_scalar_pandas_udf",
-    "i3_sliding_window_batch", "x15_split_assignment",
-    "x16_cross_doc_chunks", "x18_quality_downsample", "k17_assortativity",
+    "i3_sliding_window_batch", "i4_session_window_batch",
+    "x13_pii_scrub", "x15_split_assignment",
+    "x16_cross_doc_chunks", "x18_quality_downsample",
+    "k9_modularity", "k17_assortativity",
     "b2_filter_range", "b3_filter_in_null_like",
     "b4_bool_combinators", "b5_conditional_projection",
     "c2_join_broadcast_dims", "c3_join_shuffle_hash_hint",

@@ -900,3 +900,50 @@ def k33(spark, sf):
     from pcd_spark.graph import topological_levels
 
     return topological_levels(thin_flow_edges(spark, sf))
+
+
+@g(
+    "k34_two_hop_reach",
+    f"""WITH canon AS ({_PART_EDGES_SQL}),
+        sym AS (SELECT src, dst FROM canon
+                UNION ALL SELECT dst AS src, src AS dst FROM canon),
+        cand AS (SELECT DISTINCT a.src AS vid, b.dst AS nbr2
+                 FROM sym a JOIN sym b ON a.dst = b.src
+                 WHERE b.dst <> a.src),
+        fof AS (SELECT c.vid, c.nbr2 FROM cand c
+                WHERE NOT EXISTS (SELECT 1 FROM sym s
+                                  WHERE s.src = c.vid AND s.dst = c.nbr2))
+        SELECT vid, COUNT(*) AS n_two_hop FROM fof GROUP BY vid""",
+)
+def k34(spark, sf):
+    """K34: strict two-hop reach — per vertex, how many DISTINCT vertices
+    are exactly two hops away (reachable via a neighbor, not a neighbor
+    themselves, not self). On a dependency graph this is the blast radius
+    one level out; on a social graph the friend-of-friend candidate pool
+    (the recall set link prediction k16 then scores).
+
+    Spark shape: one self equi-join on the shared endpoint (the k6 wedge
+    join — O(sum deg^2) intermediates, the irreducible cost of 2-hop),
+    a distinct to collapse multi-path pairs, and a left-anti equi-join to
+    subtract direct edges. All joins are equi-keyed, so at 100 TB AQE's
+    skew split handles hub vertices; the k19-style degree-cap prefilter
+    is the documented mitigation when sum deg^2 itself is the bottleneck.
+    """
+    e = part_cooccurrence_edges(spark, sf)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)  # reused: wedge join x2 + anti join
+    a = sym.select(F.col("src").alias("vid"), F.col("dst").alias("mid"))
+    b = sym.select(F.col("src").alias("mid"), F.col("dst").alias("nbr2"))
+    cand = (
+        a.join(b, "mid")
+        .filter(F.col("nbr2") != F.col("vid"))
+        .select("vid", "nbr2")
+        .distinct()
+    )
+    fof = cand.join(
+        sym.select(F.col("src").alias("vid"), F.col("dst").alias("nbr2")),
+        ["vid", "nbr2"],
+        "left_anti",
+    )
+    return fof.groupBy("vid").agg(F.count("*").alias("n_two_hop"))

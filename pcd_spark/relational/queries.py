@@ -1075,3 +1075,87 @@ def i10b(spark, sf):
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@q(
+    "e7_sessionization",
+    """WITH flg AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN ts - LAG(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                          <= INTERVAL 30 MINUTE
+                     THEN 0 ELSE 1 END AS new_sess
+         FROM events),
+       sess AS (
+         SELECT user_id, ts,
+                SUM(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+         FROM flg)
+       SELECT user_id, CAST(session_no AS INT) AS session_no,
+              MIN(ts) AS session_start, MAX(ts) AS session_end,
+              COUNT(*) AS n_events
+       FROM sess GROUP BY user_id, session_no""",
+)
+def e7(spark, sf):
+    """E7: gaps-and-islands sessionization — the relational twin of I4's
+    session_window. A new session starts when a user's inter-event gap
+    exceeds 30 minutes; sessions get per-user ordinals so downstream joins
+    can key on (user_id, session_no).
+
+    Spark shape: both windows partition by user_id, so no single-task
+    global window (the e6 class of bug) — each user's event stream sorts
+    locally inside its hash partition, and the same shuffle serves the lag,
+    the running sum, AND the final groupBy (one Exchange, three uses). At
+    100 TB this is the canonical sessionize plan: skewed power users are
+    bounded by per-user event counts, not corpus size."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = load(spark, sf, "events").select("user_id", "ts", "event_id")
+    # pure timestamp_ntz interval arithmetic — no epoch cast, no timezone
+    within = F.col("ts") <= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+    new_sess = F.when(within, F.lit(0)).otherwise(F.lit(1))
+    sess = e.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(run).cast("int").alias("session_no"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@q(
+    "d12_grouped_stats",
+    """SELECT l_returnflag,
+              ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+              ROUND(var_samp(l_quantity), 6) AS var_qty,
+              ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+              ROUND(covar_samp(l_quantity, l_extendedprice), 4)
+                AS cov_qty_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def d12(spark, sf):
+    """D12: grouped statistical moments — stddev/variance/correlation/
+    covariance per group, the profiling surface a data-quality pass runs
+    over every numeric column.
+
+    Spark computes all four with single-pass mergeable moment sketches
+    (Welford/Chan partial states), so the plan is one hash aggregate with
+    map-side partials — same shuffle shape as d1, O(groups) output no
+    matter the row count. Rounded on both sides: cross-engine float-sum
+    order differs in low-order bits, agreement at 4-6 decimals is the
+    semantic claim."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "cov_qty_price"
+        ),
+    )

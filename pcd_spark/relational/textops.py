@@ -1537,3 +1537,64 @@ def x22(spark, sf):
         )
         .filter(cont > 0.5)
     )
+
+
+_X23_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+  tf AS (SELECT doc_id, term, COUNT(*) AS tf
+         FROM toks WHERE term <> '' GROUP BY 1, 2),
+  nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+  idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, term, tf, tfidf, CAST(rnk AS INT) AS rnk FROM (
+  SELECT t.doc_id, t.term, t.tf,
+         ROUND(t.tf * LN((nd.n_docs + 1.0) / (i.df + 1.0)), 6) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY ROUND(t.tf * LN((nd.n_docs + 1.0) / (i.df + 1.0)), 6)
+                    DESC, t.term ASC) AS rnk
+  FROM tf t JOIN idf i USING (term) CROSS JOIN nd)
+WHERE rnk <= 3
+"""
+
+
+@qt("x23_tfidf_topk", _X23_SQL)
+def x23(spark, sf):
+    """X23: TF-IDF top-3 terms per document — the classic keyword /
+    topical-signature extractor [PUB: Sparck Jones 1972; the smoothed
+    idf = ln((N+1)/(df+1)) form is scikit-learn's]. Downstream uses:
+    topic routing, per-source vocabulary drift, near-dup triage.
+
+    Spark shape for 100 TB: the only corpus-sized shuffle carries
+    (doc_id, term, tf) triples — term counts hash-aggregate with map-side
+    combine so the exploded token stream never crosses the wire raw. The
+    document-frequency table is vocabulary-sized (tiny vs corpus) and
+    rejoins on an equi-key; the final top-3 is a per-doc window over <=
+    |vocab per doc| rows. N is one O(1) scalar. Rank key is the ROUNDED
+    score on BOTH engines so mathematically-equal-but-differently-computed
+    ln() values (1-ulp libm skew) cannot flip the cross-engine order;
+    the deterministic tiebreak is term ASC."""
+    d = load(spark, sf, "documents")
+    n_docs = d.count()  # one scalar job, O(1) driver state
+    toks = _spread(d.select("doc_id", F.explode(F.split("text", " ")).alias("term")))
+    tf = (
+        toks.filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # reused: df count + score join
+    )
+    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.round(
+        F.col("tf")
+        * F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        6,
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id", "term", "tf", score.alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return scored.withColumn(
+        "rnk", F.row_number().over(w)
+    ).filter(F.col("rnk") <= 3)

@@ -59,10 +59,17 @@ PLAN_SWEEP = [
     # banned)
     "d11_group_percentiles", "i9_interval_join_batch", "x21_word_entropy",
     "i10_stream_static_join_batch",
+    # round-3 late additions: e7 sessionization (both windows partition by
+    # user_id — the no-partitionless-Window assertion below is the load-
+    # bearing one), d12 moment sketches (one hash agg), k34 two-hop reach
+    # (wedge equi-join + left-anti, never BNLJ)
+    "e7_sessionization", "d12_grouped_stats", "k34_two_hop_reach",
 ]
 # x20_boilerplate_grams eagerly localCheckpoints its gram table (a job),
-# so it joins x4/x10 in the excluded-from-sweep set; its no-cartesian
-# property holds by construction (explode + equi-joins only).
+# so it joins x4/x10/x23 in the excluded-from-sweep set; its no-cartesian
+# property holds by construction (explode + equi-joins only). Same for
+# x23_tfidf_topk (eager localCheckpoint of the tf table; explode +
+# equi-join on term + per-doc window only).
 # v1_cosine_topk is deliberately absent: brute-force cosine IS an all-pairs
 # scored scan (the documented exactness baseline for v2/v4) — its plan is
 # asserted separately to be the acceptable form (broadcast probes, stream
