@@ -909,31 +909,40 @@ def k33(spark, sf):
                 UNION ALL SELECT dst AS src, src AS dst FROM canon),
         cand AS (SELECT DISTINCT a.src AS vid, b.dst AS nbr2
                  FROM sym a JOIN sym b ON a.dst = b.src
-                 WHERE b.dst <> a.src),
+                 WHERE a.src % 20 = 0 AND b.dst <> a.src),
         fof AS (SELECT c.vid, c.nbr2 FROM cand c
                 WHERE NOT EXISTS (SELECT 1 FROM sym s
                                   WHERE s.src = c.vid AND s.dst = c.nbr2))
         SELECT vid, COUNT(*) AS n_two_hop FROM fof GROUP BY vid""",
 )
 def k34(spark, sf):
-    """K34: strict two-hop reach — per vertex, how many DISTINCT vertices
-    are exactly two hops away (reachable via a neighbor, not a neighbor
-    themselves, not self). On a dependency graph this is the blast radius
-    one level out; on a social graph the friend-of-friend candidate pool
-    (the recall set link prediction k16 then scores).
+    """K34: strict two-hop reach of a probe cohort — for each probe
+    vertex, how many DISTINCT vertices are exactly two hops away
+    (reachable via a neighbor, not a neighbor themselves, not self). On a
+    dependency graph this is the blast radius one level out for the
+    modules under review; on a social graph the friend-of-friend
+    candidate pool (the recall set link prediction k16 then scores). The
+    probe set is a deterministic 1-in-20 vid cohort (`vid % 20 = 0`) —
+    the same bounded-query-set discipline as k12's multi-source BFS and
+    k23's sampled Brandes, because all-pairs 2-hop is Σdeg² intermediates
+    and the co-occurrence hubs make that the whole suite's bill (measured
+    127 s at sf0.1 for exact-all-vertices vs ~5 s probe-bounded; an
+    all-vertex run is just probes = full vid set).
 
-    Spark shape: one self equi-join on the shared endpoint (the k6 wedge
-    join — O(sum deg^2) intermediates, the irreducible cost of 2-hop),
-    a distinct to collapse multi-path pairs, and a left-anti equi-join to
-    subtract direct edges. All joins are equi-keyed, so at 100 TB AQE's
-    skew split handles hub vertices; the k19-style degree-cap prefilter
-    is the documented mitigation when sum deg^2 itself is the bottleneck.
+    Spark shape: probe filter FIRST (scan-side, prunes the wedge fan-out
+    by 20×), then one self equi-join on the shared endpoint, a distinct
+    to collapse multi-path pairs, and a left-anti equi-join to subtract
+    direct edges. All joins are equi-keyed, so at 100 TB AQE's skew split
+    handles hub mid-vertices; the k19-style degree-cap prefilter is the
+    documented mitigation when hub fan-out itself binds.
     """
     e = part_cooccurrence_edges(spark, sf)
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)  # reused: wedge join x2 + anti join
-    a = sym.select(F.col("src").alias("vid"), F.col("dst").alias("mid"))
+    a = sym.filter(F.col("src") % 20 == 0).select(
+        F.col("src").alias("vid"), F.col("dst").alias("mid")
+    )
     b = sym.select(F.col("src").alias("mid"), F.col("dst").alias("nbr2"))
     cand = (
         a.join(b, "mid")
@@ -947,3 +956,62 @@ def k34(spark, sf):
         "left_anti",
     )
     return fof.groupBy("vid").agg(F.count("*").alias("n_two_hop"))
+
+
+@g(
+    "k35_transitivity",
+    f"""WITH canon AS ({_PART_EDGES_SQL}),
+        both_dir AS (SELECT src, dst FROM canon
+                     UNION ALL SELECT dst, src FROM canon),
+        deg AS (SELECT src AS vid, COUNT(*) AS d FROM both_dir GROUP BY src),
+        oriented AS (
+          SELECT CASE WHEN (ds.d, c.src) < (dd.d, c.dst) THEN c.src ELSE c.dst END AS u,
+                 CASE WHEN (ds.d, c.src) < (dd.d, c.dst) THEN c.dst ELSE c.src END AS v
+          FROM canon c
+          JOIN deg ds ON ds.vid = c.src
+          JOIN deg dd ON dd.vid = c.dst),
+        tris AS (
+          SELECT w1.u AS a, w1.v AS b, w2.v AS c
+          FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u AND w1.v <> w2.v
+          JOIN oriented e ON e.u = w1.v AND e.v = w2.v),
+        per_v AS (
+          SELECT vid, COUNT(*) AS tri FROM (
+            SELECT a AS vid FROM tris UNION ALL
+            SELECT b FROM tris UNION ALL SELECT c FROM tris)
+          GROUP BY vid),
+        full_t AS (
+          SELECT d.vid, COALESCE(per_v.tri, 0) AS tri,
+                 CAST(d.d * (d.d - 1) / 2 AS BIGINT) AS wedges
+          FROM deg d LEFT JOIN per_v ON per_v.vid = d.vid)
+        SELECT CAST(SUM(tri) / 3 AS BIGINT) AS n_triangles,
+               CAST(SUM(wedges) AS BIGINT) AS n_wedges,
+               ROUND(1.0 * SUM(tri) / SUM(wedges), 6) AS transitivity
+        FROM full_t""",
+)
+def k35(spark, sf):
+    """K35: global transitivity = 3·triangles / wedges — THE one-number
+    clustering summary (Watts-Strogatz's global counterpart to K11's local
+    coefficients) every graph-health dashboard reports; Σ_v tri(v) = 3T and
+    wedges = Σ_v C(deg(v), 2), so both numerators come from per-vertex
+    tables the engine already produces.
+
+    Spark shape: K6's degree-oriented triangle pipeline (wedge fan-out
+    bounded by oriented out-degree = O(sqrt m)) + one vid equi-join of the
+    per-vertex tri and degree tables + ONE global hash agg — no cartesian,
+    no scalar collect. Per-row wedge counts are computed in integer space
+    (d·(d−1) is even, exact) so the oracle sum is bit-identical."""
+    canon = part_cooccurrence_edges(spark, sf)
+    tri = triangle_counts(canon)  # vid, tri — sums to exactly 3T
+    sym = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("d"))
+    per_v = tri.join(deg, "vid").select(
+        "tri",
+        (F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("wedges"),
+    )
+    return per_v.agg(
+        (F.sum("tri") / 3).cast("long").alias("n_triangles"),
+        F.sum("wedges").alias("n_wedges"),
+        F.round(F.sum("tri") / F.sum("wedges"), 6).alias("transitivity"),
+    )

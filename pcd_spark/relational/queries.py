@@ -1159,3 +1159,147 @@ def d12(spark, sf):
             "cov_qty_price"
         ),
     )
+
+
+@q(
+    "c11_null_safe_join",
+    """WITH c AS (SELECT c_custkey, NULLIF(c_nationkey, 3) AS nk
+                  FROM customer),
+         s AS (SELECT s_suppkey, NULLIF(s_nationkey, 3) AS nk
+               FROM supplier)
+       SELECT COALESCE(c.nk, -1) AS nation_grp,
+              COUNT(*) AS n_pairs,
+              COUNT(DISTINCT c.c_custkey) AS n_cust,
+              COUNT(DISTINCT s.s_suppkey) AS n_supp
+       FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+       GROUP BY COALESCE(c.nk, -1)""",
+)
+def c11(spark, sf):
+    """C11: null-safe equi join (`<=>` / IS NOT DISTINCT FROM) — the join
+    variant entity-resolution pipelines need when the blocking key is
+    legitimately absent (unknown nation here, NULLIF-derived so the NULL
+    path is exercised deterministically): a plain equi join silently DROPS
+    every NULL-keyed row, a null-safe join matches NULL with NULL.
+
+    Spark shape: Catalyst extracts EqualNullSafe as a hash-join key (it
+    wraps both sides in coalesce+isnull tuples), so this plans as a normal
+    shuffled hash/sort-merge equi join — NOT a BroadcastNestedLoop — and
+    scales like c1. The NULL bucket is one key and can skew (every unknown
+    row lands on it); AQE skew-split or a c10-style salt is the documented
+    mitigation at 100 TB."""
+    c = load(spark, sf, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk")
+    )
+    s = load(spark, sf, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(3)).alias("snk")
+    )
+    return (
+        c.join(s, F.col("nk").eqNullSafe(F.col("snk")))
+        .groupBy(F.coalesce(F.col("nk"), F.lit(-1)).alias("nation_grp"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.countDistinct("s_suppkey").alias("n_supp"),
+        )
+    )
+
+
+@q(
+    "g4_union_by_name",
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+       FROM (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_orderstatus = 'F'
+             UNION ALL BY NAME
+             SELECT o_orderkey, o_orderpriority FROM orders
+             WHERE o_orderstatus = 'O')""",
+)
+def g4(spark, sf):
+    """G4: schema-evolving union — `unionByName(allowMissingColumns=True)`
+    aligns by COLUMN NAME and null-fills columns absent on one side, the
+    union a pipeline needs when appending a newer corpus snapshot whose
+    schema gained fields (positional `UNION ALL` would silently zip
+    mismatched columns). DuckDB's `UNION ALL BY NAME` is the exact oracle.
+
+    Spark shape: pure narrow Union + Project, zero shuffle, and the
+    branch filters push into both parquet scans."""
+    o = load(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@q(
+    "d13_pivot",
+    """SELECT o_orderpriority,
+              ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+                AS total_f,
+              ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+                AS total_o,
+              ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2)
+                AS total_p
+       FROM orders GROUP BY o_orderpriority""",
+)
+def d13(spark, sf):
+    """D13: pivot (long -> wide reshaping agg) — revenue per priority
+    broken out into one COLUMN per order status, the report/feature-matrix
+    shape downstream BI and model-feature joins want. Oracle is the
+    conditional-aggregation form (SUM FILTER), which is exactly what the
+    pivot means.
+
+    Spark shape: `.pivot(col, [values])` WITH the value list pinned — that
+    compiles to ONE hash aggregate carrying a PivotFirst expression per
+    value (map-side partials, one shuffle on the group key, zero extra
+    jobs). Leaving the list off adds a corpus-wide DISTINCT job just to
+    discover column names — never do that at 100 TB; the status domain is
+    metadata, not data. ROUND(.,2) both sides: float-sum fold order
+    differs cross-engine in the low bits (d1's proven discipline)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnRenamed("F", "total_f")
+        .withColumnRenamed("O", "total_o")
+        .withColumnRenamed("P", "total_p")
+    )
+
+
+@q(
+    "d14_unpivot",
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+              l_quantity AS val
+       FROM lineitem WHERE l_orderkey < 200
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+       FROM lineitem WHERE l_orderkey < 200
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+       FROM lineitem WHERE l_orderkey < 200
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+       FROM lineitem WHERE l_orderkey < 200""",
+)
+def d14(spark, sf):
+    """D14: unpivot / melt (wide -> long reshaping) — each numeric measure
+    column becomes a (metric, val) row, the shape per-metric quality
+    dashboards and generic anomaly scans consume (one detector over ALL
+    metrics instead of one query per column). Oracle is the UNION ALL
+    expansion, which is the operator's definition.
+
+    Spark shape: `df.unpivot` plans a single narrow Expand node — each
+    input row emits 4 output rows in the SAME task, zero shuffle, zero
+    extra scans (vs the naive 4x self-UNION which re-reads the table per
+    metric; at 100 TB that's 4 scans vs 1). The id/filter predicate pushes
+    into the parquet scan and only the 6 referenced columns are read.
+    Values are copied, not computed, so no rounding is needed."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )

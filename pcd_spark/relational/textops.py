@@ -1598,3 +1598,45 @@ def x23(spark, sf):
     return scored.withColumn(
         "rnk", F.row_number().over(w)
     ).filter(F.col("rnk") <= 3)
+
+
+@qt(
+    "v8_cosine_range",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+       probes AS (SELECT * FROM e WHERE vec_id < 5)
+       SELECT probe_id, cand_id, cosine FROM (
+         SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                ROUND(list_dot_product(p.emb, c.emb)
+                      / (SQRT(list_dot_product(p.emb, p.emb))
+                         * SQRT(list_dot_product(c.emb, c.emb))), 6) AS cosine
+         FROM probes p JOIN e c ON p.vec_id <> c.vec_id)
+       WHERE cosine >= 0.25""",
+)
+def v8(spark, sf):
+    """V8: cosine RANGE search — all candidates within a similarity ball
+    (cosine ≥ τ) of each probe, the retrieval mode dedup-by-similarity and
+    recall-evaluation use when the answer set size is unknown (top-k's
+    fixed k under/over-fetches; Weber et al. 1998 call this ε-range
+    search). Same broadcast-probes / stream-the-big-side shape as v1: the
+    corpus never shuffles, the filter runs scan-side, and output is
+    O(matches), not O(n·probes). Threshold compares the ROUNDED score on
+    both engines so a boundary pair cannot flip on 1-ulp fold-order skew
+    (v1/v3's proven discipline)."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb")
+    )
+    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"))
+    return (
+        F.broadcast(probes)
+        .join(cand, F.col("probe_id") != F.col("cand_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(_cos(F.col("pemb"), F.col("cemb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.25)
+    )

@@ -64,6 +64,14 @@ PLAN_SWEEP = [
     # bearing one), d12 moment sketches (one hash agg), k34 two-hop reach
     # (wedge equi-join + left-anti, never BNLJ)
     "e7_sessionization", "d12_grouped_stats", "k34_two_hop_reach",
+    # round-3 late additions: c11 null-safe join (the load-bearing check —
+    # Catalyst must extract EqualNullSafe as a hash-join key, never BNLJ),
+    # g4 schema-evolving union (narrow Union+Project, no join at all)
+    "c11_null_safe_join", "g4_union_by_name",
+    # d13 pivot (ONE hash agg with PivotFirst — the pinned-value-list form
+    # never plans the extra domain-discovery DISTINCT), d14 unpivot (a
+    # single narrow Expand, no shuffle, no self-union rescans)
+    "d13_pivot", "d14_unpivot",
 ]
 # x20_boilerplate_grams eagerly localCheckpoints its gram table (a job),
 # so it joins x4/x10/x23 in the excluded-from-sweep set; its no-cartesian
@@ -132,6 +140,24 @@ def test_v1_bruteforce_streams_big_side(spark, sf_dir):
     through one pass and never shuffle or build."""
     plan = _plan(spark, sf_dir, "v1_cosine_topk")
     assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
+
+
+def test_v8_range_streams_big_side(spark, sf_dir):
+    """v8's ε-range scan is v1's shape with a threshold filter: the tiny
+    probe set must broadcast (BuildLeft) so the candidate side streams in
+    one pass; output is O(matches), never O(n·probes) materialized."""
+    plan = _plan(spark, sf_dir, "v8_cosine_range")
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
+
+
+def test_c11_null_safe_join_is_hash_join(spark, sf_dir):
+    """EqualNullSafe must be extracted as a hash-join key (Catalyst wraps
+    both sides in coalesce+isnull tuples) — a BNLJ here would mean every
+    entity-resolution join with nullable blocking keys goes all-pairs."""
+    plan = _plan(spark, sf_dir, "c11_null_safe_join")
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
 
 
 def test_small_dimensions_broadcast(spark, sf_dir):
