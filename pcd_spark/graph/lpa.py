@@ -21,8 +21,12 @@ Physical shape per superstep (ONE wide shuffle, all-JVM hash aggregation):
   not hash-agg-compatible, so that form silently degrades to SortAggregate
   and sorts the full 2|E| message stream twice per superstep (measured: this
   was the dominant LPA cost). Overflow guard: the encoding is used only when
-  max_in_degree * K < 2^62 (checked once at setup); otherwise the struct-min
-  fallback keeps exactness at any scale.
+  max_in_degree * K < 2^62 (checked once at setup). When the RAW vid domain
+  is too wide for that (the production xxhash64 scheme spans ~2^64), vids
+  are first dense-ranked [0, V) with one order-preserving distributed rank
+  (monotone bijection -> identical tie semantics), the fixpoint runs on
+  ranks, and one final equi-join decodes them; only when even
+  max_in_degree * V overflows does the struct-min fallback carry exactness.
 
   update: left-join the winners back onto the previous labels; the changed
   flag `_delta` is computed in the same select (zero-extra-join convergence,
@@ -154,9 +158,43 @@ def label_propagation(
         weight_col is None and enc_k > 0 and (dmax + 1) * enc_k < _ENC_LIMIT
     )
 
-    init = verts.select(
-        "vid", F.col("vid").alias("label"), F.lit(1.0).alias("_delta")
-    )
+    # Rank-encoded argmax for WIDE vid domains (the production path): the
+    # K8 default vid scheme is xxhash64 -> enc_k spans ~2^64 and the raw
+    # encoding above never applies, silently dropping every superstep into
+    # the struct-min SortAggregate (measured: lpa 1.58 s/superstep on the
+    # 78k-edge corpus graph vs 0.51 on an equal-size BA graph with dense
+    # int vids). Fix: ONE order-preserving dense rank vid -> [0, V)
+    # (global_rank's range-partitioned form, no single-task sort), run the
+    # whole fixpoint on label RANKS (ties -> smallest rank == smallest vid,
+    # because the bijection is monotone), decode ranks -> vids with one
+    # equi-join at the end. Per-superstep plans are then identical to the
+    # dense-vid fast path; the dictionary costs O(V) once.
+    rank_dict = None
+    if not use_encoded and weight_col is None:
+        from pcd_spark.relational.queries import global_rank
+
+        _st: dict = {}
+        rank_dict = (
+            global_rank(verts, ["vid"], rank_name="rk", stats_out=_st)
+            .select("vid", (F.col("rk") - 1).alias("rk"))
+            .persist()
+        )
+        n_v = int(_st["total"])
+        if n_v > 0 and (dmax + 1) * n_v < _ENC_LIMIT:
+            use_encoded = True
+            enc_k, min_vid = n_v, 0  # ranks are dense [0, V)
+        else:  # pathological in-degree x vertex count: keep struct-min
+            rank_dict.unpersist()
+            rank_dict = None
+
+    if rank_dict is not None:
+        init = rank_dict.select(
+            "vid", F.col("rk").alias("label"), F.lit(1.0).alias("_delta")
+        )
+    else:
+        init = verts.select(
+            "vid", F.col("vid").alias("label"), F.lit(1.0).alias("_delta")
+        )
 
     # The whole superstep is ONE spark.sql() over temp views — single parse +
     # single analysis per iteration instead of ~10 eagerly-analyzed
@@ -229,7 +267,21 @@ def label_propagation(
         stats_out["metrics"] = metrics
         stats_out["step_secs"] = _secs
         stats_out["encoded_argmax"] = use_encoded
+        stats_out["rank_encoded"] = rank_dict is not None
     out = final.select("vid", "label")
+    if rank_dict is not None:
+        # decode label ranks -> original vids (one equi-join, O(V) each
+        # side); materialize before dropping the dictionary cache so the
+        # returned frame doesn't re-derive verts from unpersisted lineage
+        decode = rank_dict.select(
+            F.col("rk").alias("label"), F.col("vid").alias("_lvid")
+        )
+        out = (
+            out.join(decode, "label")
+            .select("vid", F.col("_lvid").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        rank_dict.unpersist()
     drop_views(spark, sym_view, state_view)
     sym.unpersist()
     verts.unpersist()
