@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from pcd_spark.graph.partition import adaptive_num_parts
 from pcd_spark.graph.scc import strongly_connected_components
-from pcd_spark.graph.superstep import run_supersteps
+from pcd_spark.graph.superstep import drop_views, fresh_view, run_supersteps
 
 
 def condensation(
@@ -95,31 +95,31 @@ def topological_levels(
         .withColumn("_delta", F.lit(1.0))
     )
 
+    # one spark.sql() per superstep (superstep.fresh_view discipline — the
+    # same ~4x fixed-cost cut as K3/K4/K5/K15/K32/K20; the condensation is
+    # tiny so this loop is pure per-superstep driver cost)
+    spark = edges.sparkSession
+    ce_view = fresh_view(ce, "pcd_lvl_ce")
+    state_view = fresh_view(init, "pcd_lvl_state")
+    cand_sql = f"""
+        SELECT e.cdst AS component, MAX(s.level) + 1 AS _cand
+        FROM {ce_view} e JOIN {state_view} s ON s.component = e.csrc
+        GROUP BY e.cdst"""
+    step_sql = f"""
+        SELECT component, GREATEST(level, COALESCE(_cand, 0)) AS level,
+               CAST(COALESCE(_cand, 0) > level AS DOUBLE) AS _delta
+        FROM (SELECT /*+ SHUFFLE_HASH(c) */ s.component, s.level, c._cand
+              FROM {state_view} s
+              LEFT JOIN ({cand_sql}) c ON s.component = c.component)"""
+
     def step(state: DataFrame, _i: int) -> DataFrame:
-        cand = (
-            state.join(
-                ce, state["component"] == ce["csrc"], "inner"
-            )
-            .groupBy(F.col("cdst").alias("component"))
-            .agg((F.max("level") + F.lit(1)).alias("_cand"))
-        )
-        return (
-            state.select("component", "level")
-            .join(cand.hint("shuffle_hash"), "component", "left")
-            .select(
-                "component",
-                F.greatest(
-                    F.col("level"), F.coalesce(F.col("_cand"), F.lit(0))
-                ).alias("level"),
-                (
-                    F.coalesce(F.col("_cand"), F.lit(0)) > F.col("level")
-                ).cast("double").alias("_delta"),
-            )
-        )
+        state.createOrReplaceTempView(state_view)
+        return spark.sql(step_sql)
 
     final, iters, metrics = run_supersteps(
         init, step, tol=0.5, max_iter=max_iter
     )
+    drop_views(spark, ce_view, state_view)
     if metrics and metrics[-1][1] >= 0.5 and iters >= max_iter:
         raise RuntimeError(
             f"topological_levels: no fixpoint after {max_iter} supersteps "

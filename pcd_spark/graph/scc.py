@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from pcd_spark.graph.edges import vertices_of
 from pcd_spark.graph.partition import adaptive_num_parts
-from pcd_spark.graph.superstep import run_supersteps
+from pcd_spark.graph.superstep import drop_views, fresh_view, run_supersteps
 
 
 def strongly_connected_components(
@@ -67,28 +67,37 @@ def strongly_connected_components(
         phases += 1
 
         # ---- 1. forward coloring to fixpoint: color = max reaching vid ----
+        # Both inner fixpoints run as ONE spark.sql() per superstep over
+        # temp views (superstep.fresh_view) — single parse/analysis instead
+        # of ~8 eagerly-analyzed transformations. SCC's cost on small
+        # residue graphs is pure per-superstep fixed cost ×
+        # (fwd + bwd iterations summed over phases), so this is the same
+        # ~4× driver-time win measured for K3/K4/K5/K15/K32
+        # (k33_condensation_levels: 15.9 s -> see bench — the SCC stage
+        # dominated it at sf0.1 with a 1147-vertex thinned graph).
         init = verts.select(
             "vid", F.col("vid").alias("color"), F.lit(1.0).alias("_delta")
         )
 
+        e_view = fresh_view(e, "pcd_scc_e")
+        fwd_state = fresh_view(init, "pcd_scc_fwd")
+        fwd_cmax = f"""
+            SELECT dst AS vid, MAX(color) AS cmax
+            FROM (SELECT /*+ REPARTITION({p}, dst), SHUFFLE_HASH(e) */
+                         e.dst, r.color
+                  FROM {e_view} e JOIN {fwd_state} r ON e.src = r.vid) m
+            GROUP BY dst"""
+        fwd_sql = f"""
+            SELECT vid, GREATEST(color, COALESCE(cmax, color)) AS color,
+                   CAST(GREATEST(color, COALESCE(cmax, color)) <> color
+                        AS DOUBLE) AS _delta
+            FROM (SELECT /*+ SHUFFLE_HASH(nm) */ s.vid, s.color, nm.cmax
+                  FROM {fwd_state} s
+                  LEFT JOIN ({fwd_cmax}) nm ON s.vid = nm.vid)"""
+
         def fwd_step(state: DataFrame, _i: int) -> DataFrame:
-            colors = state.select("vid", "color")
-            nbr_max = (
-                e.hint("shuffle_hash")
-                .join(colors.withColumnRenamed("vid", "src"), "src")
-                .select(F.col("dst").alias("vid"), "color")
-                .repartition(p, "vid")
-                .groupBy("vid")
-                .agg(F.max("color").alias("cmax"))
-            )
-            return colors.join(nbr_max.hint("shuffle_hash"), "vid", "left").select(
-                "vid",
-                F.greatest("color", F.coalesce("cmax", "color")).alias("color"),
-                (
-                    F.greatest("color", F.coalesce("cmax", "color"))
-                    != F.col("color")
-                ).cast("double").alias("_delta"),
-            )
+            state.createOrReplaceTempView(fwd_state)
+            return spark.sql(fwd_sql)
 
         colored, _, _ = run_supersteps(
             init, fwd_step, tol=0.5, max_iter=max_iter, disable_aqe=True
@@ -116,27 +125,25 @@ def strongly_connected_components(
             F.lit(1.0).alias("_delta"),
         )
 
+        ce_view = fresh_view(ce, "pcd_scc_ce")
+        bwd_state = fresh_view(binit, "pcd_scc_bwd")
+        bwd_reach = f"""
+            SELECT dst AS vid, TRUE AS m2
+            FROM (SELECT /*+ REPARTITION({p}, dst), SHUFFLE_HASH(e) */ e.dst
+                  FROM {ce_view} e
+                  JOIN {bwd_state} r ON e.src = r.vid AND r.mark) m
+            GROUP BY dst"""
+        bwd_sql = f"""
+            SELECT vid, (mark OR COALESCE(m2, FALSE)) AS mark,
+                   CAST((mark OR COALESCE(m2, FALSE)) <> mark AS DOUBLE)
+                     AS _delta
+            FROM (SELECT /*+ SHUFFLE_HASH(nm) */ s.vid, s.mark, nm.m2
+                  FROM {bwd_state} s
+                  LEFT JOIN ({bwd_reach}) nm ON s.vid = nm.vid)"""
+
         def bwd_step(state: DataFrame, _i: int) -> DataFrame:
-            marks = state.select("vid", "mark")
-            reach = (
-                ce.hint("shuffle_hash")
-                .join(
-                    marks.filter(F.col("mark"))
-                    .select(F.col("vid").alias("src")),
-                    "src",
-                )
-                .select(F.col("dst").alias("vid"), F.lit(True).alias("m2"))
-                .repartition(p, "vid")
-                .dropDuplicates(["vid"])
-            )
-            return marks.join(reach.hint("shuffle_hash"), "vid", "left").select(
-                "vid",
-                (F.col("mark") | F.coalesce("m2", F.lit(False))).alias("mark"),
-                (
-                    (F.col("mark") | F.coalesce("m2", F.lit(False)))
-                    != F.col("mark")
-                ).cast("double").alias("_delta"),
-            )
+            state.createOrReplaceTempView(bwd_state)
+            return spark.sql(bwd_sql)
 
         marked, _, _ = run_supersteps(
             binit, bwd_step, tol=0.5, max_iter=max_iter, disable_aqe=True
@@ -168,6 +175,7 @@ def strongly_connected_components(
         )
         new_verts.count()
         new_e.count()
+        drop_views(spark, e_view, fwd_state, ce_view, bwd_state)
         verts.unpersist()
         e.unpersist()
         colored.unpersist()
