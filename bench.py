@@ -202,6 +202,14 @@ def run_bench() -> dict:
     # computed once and billed to x10; x14 is billed only its increment
     # (join + keep-best hash-agg). Correctness runs still execute each
     # query standalone — only the bench composes them.
+    # Untimed warmup: the first action of a session pays JVM classloading,
+    # codegen-compiler warmup, and the parquet footer reads — billing that
+    # to whichever query happens to run first (measured ~6s on d1) makes
+    # per-query numbers incomparable across suite reorderings. One trivial
+    # scan-and-agg amortizes it outside the timed region.
+    REGISTRY["d2_global_agg"]["spark"](spark, SF_DIR).collect()
+    spark.catalog.clearCache()
+
     shared_clusters = None
     for name in BENCH_QUERIES:
         t0 = time.time()
@@ -233,6 +241,15 @@ def run_bench() -> dict:
         else:
             REGISTRY[name]["spark"](spark, SF_DIR).collect()
         queries[name] = round(time.time() - t0, 3)
+        # Measurement hygiene: several algorithms persist intermediates that
+        # only unpersist on GC (triangle_counts persists 4 tables per call;
+        # localCheckpoints hold RDD blocks). Left to accumulate across the
+        # suite, later queries get billed earlier queries' storage pressure
+        # (measured: k6 12.4s isolated vs 27.7s late in the suite). Dropping
+        # the cache between queries bills each query only its own work —
+        # shared_clusters is a checkpointed RDD, not a catalog cache entry,
+        # so the x10→x14 reuse survives.
+        spark.catalog.clearCache()
 
     graph = run_graph_suite(spark, sf_scale)
     total = round(time.time() - t_total, 2)

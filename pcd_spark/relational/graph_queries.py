@@ -1015,3 +1015,160 @@ def k35(spark, sf):
         F.sum("wedges").alias("n_wedges"),
         F.round(F.sum("tri") / F.sum("wedges"), 6).alias("transitivity"),
     )
+
+
+_PRECEDENCE_EDGES_SQL = """
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND a.l_linenumber < b.l_linenumber
+   AND a.l_partkey <> b.l_partkey
+"""
+
+
+def part_precedence_edges(spark, sf):
+    """DIRECTED part graph: edge u→v when u appears on an earlier line than
+    v within the same order (distinct across orders). Unlike the canonical
+    co-occurrence graph this has genuine partial reciprocity — (u,v) and
+    (v,u) both exist exactly when two orders list the pair in opposite line
+    order — which is what K36 measures."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_partkey").alias("src"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_partkey").alias("dst"),
+    )
+    return (
+        a.join(b, "k")
+        .filter((F.col("ln_a") < F.col("ln_b")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+@g(
+    "k36_reciprocity",
+    f"""WITH e AS ({_PRECEDENCE_EDGES_SQL}),
+        pairs AS (
+          SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+                 MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS fwd,
+                 MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS rev
+          FROM e GROUP BY LEAST(src, dst), GREATEST(src, dst))
+        SELECT CAST(SUM(fwd) + SUM(rev) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN fwd = 1 AND rev = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_mutual_pairs,
+               ROUND(2.0 * SUM(CASE WHEN fwd = 1 AND rev = 1 THEN 1 ELSE 0 END)
+                     / (SUM(fwd) + SUM(rev)), 6) AS reciprocity
+        FROM pairs""",
+)
+def k36(spark, sf):
+    """K36 (round 3): edge reciprocity r = |mutual directed edges| / |E| —
+    the first-look directionality statistic of any web/link graph (the web
+    is ~25% reciprocal, social follower graphs much higher; Newman 2003).
+    Runs on the directed part-precedence graph so both directions genuinely
+    occur.
+
+    Spark shape: NO self-join of the edge table — each directed edge maps
+    to its canonical unordered pair plus a direction bit, ONE hash groupBy
+    on (lo, hi) marks which directions exist, ONE global agg folds the
+    counts. One shuffle keyed by the pair, map-side combined; at 10^12
+    edges this is strictly cheaper than the textbook e ⋈ e^T formulation,
+    which shuffles the edge table twice and materializes the intersection."""
+    e = part_precedence_edges(spark, sf)
+    pairs = (
+        e.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+            (F.col("src") < F.col("dst")).cast("int").alias("is_fwd"),
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            F.max("is_fwd").alias("fwd"),
+            F.max(1 - F.col("is_fwd")).alias("rev"),
+        )
+    )
+    mutual = ((F.col("fwd") == 1) & (F.col("rev") == 1)).cast("int")
+    return pairs.agg(
+        (F.sum("fwd") + F.sum("rev")).cast("long").alias("n_edges"),
+        F.sum(mutual).cast("long").alias("n_mutual_pairs"),
+        F.round(2.0 * F.sum(mutual) / (F.sum("fwd") + F.sum("rev")), 6).alias(
+            "reciprocity"
+        ),
+    )
+
+
+_K37_KMIN = 4  # tail cutoff for the power-law MLE (deg >= kmin)
+
+
+@g(
+    "k37_degree_distribution",
+    f"""WITH edges AS ({_CS_EDGES_SQL}),
+        sym AS (SELECT src, dst FROM edges
+                UNION ALL SELECT dst AS src, src AS dst FROM edges),
+        deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
+        hist AS (
+          SELECT CAST(FLOOR(LOG2(deg)) AS BIGINT) AS bin,
+                 COUNT(*) AS n_vertices,
+                 MIN(deg) AS min_deg, MAX(deg) AS max_deg
+          FROM deg GROUP BY 1),
+        tail AS (
+          SELECT COUNT(*) AS n_tail,
+                 SUM(LN(deg / ({_K37_KMIN} - 0.5))) AS sum_ln
+          FROM deg WHERE deg >= {_K37_KMIN})
+        SELECT h.bin, h.n_vertices, h.min_deg, h.max_deg,
+               ROUND(1.0 + t.n_tail / t.sum_ln, 6) AS alpha_tail
+        FROM hist h CROSS JOIN tail t""",
+)
+def k37(spark, sf):
+    """K37 (round 3): log2-binned degree histogram + continuous power-law
+    tail exponent (Clauset–Shalizi–Newman 2009 MLE with the ½-offset
+    discrete correction, fixed kmin) on the symmetrized customer–supplier
+    graph — the canonical first diagnostic of a web-scale graph (is the
+    degree distribution heavy-tailed? where does the hub tail start?),
+    and the input to every skew-handling decision (C10 salting threshold,
+    AQE skew-join hints).
+
+    Spark shape: degrees are ONE hash agg (K1); the histogram is a second
+    O(V)-input hash agg on ~60 bins; the MLE is a 1-row global agg whose
+    scalar is collected (O(1) driver data) and attached as a literal — no
+    sort, no window, no join. alpha is rounded to 6 dp so libm
+    summation-order skew (~1e-12 relative at 10^7 vertices) can never flip
+    the cross-engine hash."""
+    e = cust_supp_edges(spark, sf)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+    hist = deg.groupBy(
+        F.floor(F.log2("deg")).cast("long").alias("bin")
+    ).agg(
+        F.count("*").alias("n_vertices"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )
+    # the MLE is ONE scalar row — collect it (O(1) driver data, the k-means
+    # centroid discipline) and attach as a literal; joining it back would
+    # plan a BroadcastNestedLoopJoin (Catalyst constant-folds any literal
+    # join key), carving an exception into the sweep's no-BNLJ invariant
+    t = (
+        deg.filter(F.col("deg") >= _K37_KMIN)
+        .agg(
+            F.count("*").alias("n_tail"),
+            F.sum(F.log(F.col("deg") / (_K37_KMIN - 0.5))).alias("sum_ln"),
+        )
+        .first()
+    )
+    return hist.select(
+        "bin",
+        "n_vertices",
+        "min_deg",
+        "max_deg",
+        F.round(F.lit(1.0 + t["n_tail"] / t["sum_ln"]), 6).alias("alpha_tail"),
+    )

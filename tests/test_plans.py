@@ -72,6 +72,10 @@ PLAN_SWEEP = [
     # never plans the extra domain-discovery DISTINCT), d14 unpivot (a
     # single narrow Expand, no shuffle, no self-union rescans)
     "d13_pivot", "d14_unpivot",
+    # k36 reciprocity (canonical-pair groupBy, NO edge self-join), k37
+    # degree distribution (two hash aggs; the 1-row MLE scalar is collected
+    # and attached as a literal — any join form here planned a BNLJ)
+    "k36_reciprocity", "k37_degree_distribution",
 ]
 # x20_boilerplate_grams eagerly localCheckpoints its gram table (a job),
 # so it joins x4/x10/x23 in the excluded-from-sweep set; its no-cartesian
