@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "d12_grouped_stats",
     "x23_tfidf_topk",
     "k34_two_hop_reach",
+    "k36_reciprocity",
+    "k37_degree_distribution",
+    "v9_sq8_topk",
 ]
 
 

@@ -1640,3 +1640,101 @@ def v8(spark, sf):
         )
         .filter(F.col("cosine") >= 0.25)
     )
+
+
+_EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
+_SQ8_LEVELS = 256  # 8-bit codes
+
+
+@qt(
+    "v9_sq8_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       dims AS (SELECT unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM e),
+       stat AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+                FROM (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM dims GROUP BY i)),
+       enc AS (SELECT vec_id,
+                      list_transform(emb, (x, i) ->
+                        LEAST(255, CAST(FLOOR((x - mins[i]) / (maxs[i] - mins[i])
+                                              * 256.0) AS BIGINT))) AS codes
+               FROM e CROSS JOIN stat),
+       rec AS (SELECT vec_id,
+                      list_transform(codes, (c, i) ->
+                        mins[i] + (CAST(c AS DOUBLE) + 0.5)
+                                  * (maxs[i] - mins[i]) / 256.0) AS remb
+               FROM enc CROSS JOIN stat),
+       probes AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id < 5),
+       scored AS (
+         SELECT p.probe_id, r.vec_id AS cand_id,
+                ROUND(list_dot_product(p.pemb, r.remb)
+                      / (SQRT(list_dot_product(p.pemb, p.pemb))
+                         * SQRT(list_dot_product(r.remb, r.remb))), 6) AS cosine_sq8
+         FROM probes p JOIN rec r ON p.probe_id <> r.vec_id)
+       SELECT probe_id, cand_id, cosine_sq8 FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine_sq8 DESC, cand_id ASC) AS rn
+         FROM scored) WHERE rn <= 3""",
+)
+def v9(spark, sf):
+    """V9: int8 scalar quantization (SQ8) top-k — the last member of the
+    faiss-style index family next to brute force (v1), sign-LSH (v2/v3),
+    IVF (v4), k-means (v5), PQ/ADC (v6) and IVF-PQ (v7). Per-dimension
+    min/max learned in ONE global hash agg; each float64 vector is encoded
+    to 64 one-byte codes (8x smaller on the wire and in cache than the
+    double form, 4x smaller than float32 — at 100 TB the candidate table
+    a search streams is cut by that factor); search is asymmetric: the raw
+    float probe scores against midpoint-reconstructed candidates
+    (r_i = min_i + (code_i + 0.5) * span_i / 256).
+
+    Determinism/oracle discipline: the stats row is collected to the
+    driver (O(dim) scalars — the k-means-centroid rule) and attached as
+    literal arrays; min/max are exact (no float summation), the
+    encode/decode expression trees are written with IDENTICAL association
+    order in the Spark and DuckDB forms so IEEE double arithmetic is
+    bit-equal, and the cosine is rounded to 6 dp before the top-k window
+    (v1/v3's fold-order rule). Codes use floor((x-min)/span*256) clamped
+    to 255 so x=max cannot overflow the byte range. Plan shape is v8's:
+    probes BROADCAST (BuildLeft), candidates stream scan-side through one
+    narrow projection, top-k via a probe-partitioned window."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    stat = e.agg(
+        F.array(*[F.min(F.col("emb")[i]) for i in range(_EMB_DIM)]).alias("mins"),
+        F.array(*[F.max(F.col("emb")[i]) for i in range(_EMB_DIM)]).alias("maxs"),
+    ).first()
+    minl = F.array(*[F.lit(float(v)) for v in stat["mins"]])
+    maxl = F.array(*[F.lit(float(v)) for v in stat["maxs"]])
+
+    def _enc(x, i):
+        mn = F.element_at(minl, i + F.lit(1))
+        mx = F.element_at(maxl, i + F.lit(1))
+        return F.least(
+            F.lit(255).cast("long"),
+            F.floor((x - mn) / (mx - mn) * F.lit(256.0)),
+        )
+
+    def _dec(c, i):
+        mn = F.element_at(minl, i + F.lit(1))
+        mx = F.element_at(maxl, i + F.lit(1))
+        return mn + (c.cast("double") + F.lit(0.5)) * (mx - mn) / F.lit(256.0)
+
+    codes = e.select("vec_id", F.transform("emb", _enc).alias("codes"))
+    rec = codes.select("vec_id", F.transform("codes", _dec).alias("remb"))
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(rec, F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(_cos(F.col("pemb"), F.col("remb")), 6).alias("cosine_sq8"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sq8"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "cand_id", "cosine_sq8")
+    )

@@ -154,6 +154,15 @@ def test_v8_range_streams_big_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
 
 
+def test_v9_sq8_streams_big_side(spark, sf_dir):
+    """v9's SQ8 search keeps v8's shape: the 5-probe set broadcasts
+    (BuildLeft) and the encoded candidate side streams scan-side through
+    one narrow decode projection — the quantized table never shuffles and
+    never builds a hash table."""
+    plan = _plan(spark, sf_dir, "v9_sq8_topk")
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
+
+
 def test_c11_null_safe_join_is_hash_join(spark, sf_dir):
     """EqualNullSafe must be extracted as a hash-join key (Catalyst wraps
     both sides in coalesce+isnull tuples) — a BNLJ here would mean every
