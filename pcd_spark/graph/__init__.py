@@ -13,6 +13,7 @@ from pcd_spark.graph.quality import (  # noqa: F401
     local_clustering,
     modularity,
     modularity_terms,
+    scan_similarity,
 )
 from pcd_spark.graph.kcore import coreness, k_core  # noqa: F401
 from pcd_spark.graph.bipartite import (  # noqa: F401

@@ -200,3 +200,61 @@ def conductance_terms(
     out = out.localCheckpoint(eager=True)
     lb.unpersist()
     return out
+
+
+def scan_similarity(edges: DataFrame, round_to: int | None = 6) -> DataFrame:
+    """K38: SCAN structural similarity per undirected edge
+
+        sigma(u,v) = |G(u) ∩ G(v)| / sqrt(|G(u)| * |G(v)|)
+
+    over CLOSED neighborhoods G(x) = N(x) ∪ {x} [PUB: Xu, Yuruk, Feng &
+    Schweiger, "SCAN: a structural clustering algorithm for networks",
+    KDD 2007]. For an edge (u,v): |G(u) ∩ G(v)| = common(u,v) + 2 (the
+    shared neighbors plus u and v themselves) and |G(x)| = deg(x) + 1, so
+    the whole statistic reduces to per-edge triangle support (K24's
+    degree-oriented _edge_support — wedge fan-out bounded by oriented
+    out-degree, hub-safe) joined to K1 degrees: no new shuffle shape.
+    Thresholding sigma >= eps plus a mu-core peel is full SCAN clustering;
+    this similarity table is the reusable operator (it doubles as the
+    edge-density signal hub/outlier detection reads).
+
+    Returns (src, dst, n_common, sigma) with src < dst canonical and sigma
+    rounded to `round_to` for cross-engine hash stability.
+    """
+    from pcd_spark.graph.truss import _edge_support
+    from pcd_spark.graph.triangles import _oriented
+
+    canon = canonical_undirected(edges).persist()
+    n_e = canon.count()
+    both = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+    sup = _edge_support(_oriented(canon), n_e).select(
+        F.least("u", "v").alias("src"),
+        F.greatest("u", "v").alias("dst"),
+        "sup",
+    )
+    out = (
+        canon.join(sup, ["src", "dst"], "left")
+        .join(
+            deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "ds"),
+            "src",
+        )
+        .join(
+            deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "dd"),
+            "dst",
+        )
+    )
+    n_common = F.coalesce(F.col("sup"), F.lit(0).cast("long"))
+    sigma = (n_common + 2) / F.sqrt((F.col("ds") + 1.0) * (F.col("dd") + 1.0))
+    if round_to is not None:
+        sigma = F.round(sigma, round_to)
+    res = out.select(
+        "src", "dst", n_common.alias("n_common"), sigma.alias("sigma")
+    )
+    # O(E)-rows result; materialize so the canonical-edge cache is released
+    # instead of leaking for the session (the conductance_terms discipline)
+    res = res.localCheckpoint(eager=True)
+    canon.unpersist()
+    return res

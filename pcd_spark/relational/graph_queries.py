@@ -1172,3 +1172,35 @@ def k37(spark, sf):
         "max_deg",
         F.round(F.lit(1.0 + t["n_tail"] / t["sum_ln"]), 6).alias("alpha_tail"),
     )
+
+
+@g(
+    "k38_scan_similarity",
+    f"""WITH canon AS ({_PART_EDGES_SQL}),
+        both_dir AS (SELECT src, dst FROM canon
+                     UNION ALL SELECT dst AS src, src AS dst FROM canon),
+        deg AS (SELECT src AS vid, COUNT(*) AS deg FROM both_dir GROUP BY src),
+        common AS (
+          SELECT c.src, c.dst, COUNT(*) AS n_common
+          FROM canon c
+          JOIN both_dir a ON a.src = c.src
+          JOIN both_dir b ON b.src = c.dst AND b.dst = a.dst
+          GROUP BY c.src, c.dst)
+        SELECT c.src, c.dst,
+               COALESCE(m.n_common, 0) AS n_common,
+               ROUND((COALESCE(m.n_common, 0) + 2)
+                     / SQRT((ds.deg + 1.0) * (dd.deg + 1.0)), 6) AS sigma
+        FROM canon c
+        LEFT JOIN common m ON m.src = c.src AND m.dst = c.dst
+        JOIN deg ds ON ds.vid = c.src
+        JOIN deg dd ON dd.vid = c.dst""",
+)
+def k38(spark, sf):
+    """K38 (round 3): SCAN structural similarity per edge (Xu et al., KDD
+    2007) on the part co-occurrence graph — the edge weight SCAN-family
+    community detection thresholds, reduced to K24's degree-oriented
+    per-edge triangle support joined to K1 degrees (see
+    pcd_spark.graph.quality.scan_similarity for the shape argument)."""
+    from pcd_spark.graph.quality import scan_similarity
+
+    return scan_similarity(part_cooccurrence_edges(spark, sf))

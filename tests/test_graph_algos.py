@@ -8,6 +8,8 @@ Triangles-> networkx triangles, exact per-vertex
 
 from __future__ import annotations
 
+import math
+
 import networkx as nx
 import numpy as np
 import pytest
@@ -1210,3 +1212,30 @@ def test_katz_divergence_raises(spark, graphs):
     e = symmetrize(edges_df(spark, graphs["karate"]["edges"]))
     with pytest.raises(RuntimeError, match="no convergence"):
         katz_centrality(e, alpha=0.9, tol=1e-10, max_iter=30)
+
+
+# ---------- SCAN structural similarity (K38) -----------------------------------
+
+@pytest.mark.parametrize("name", ["karate", "er_200", "two_cliques"])
+def test_scan_similarity_matches_bruteforce(spark, graphs, name):
+    """K38 vs a brute-force python oracle: for every undirected edge (u,v),
+    sigma = (|N(u) ∩ N(v)| + 2) / sqrt((deg(u)+1)(deg(v)+1)) over closed
+    neighborhoods (Xu et al. 2007) — float-exact to the 6-dp rounding, and
+    the edge set must be exactly the canonical edge set."""
+    from pcd_spark.graph import scan_similarity
+
+    g = _nx_graph(graphs[name], False)
+    got = {
+        (r["src"], r["dst"]): (r["n_common"], r["sigma"])
+        for r in scan_similarity(edges_df(spark, graphs[name]["edges"])).collect()
+    }
+    want = {}
+    for u, v in g.edges():
+        lo, hi = min(u, v), max(u, v)
+        common = len(set(g[u]) & set(g[v]))
+        sigma = (common + 2) / math.sqrt((g.degree(u) + 1) * (g.degree(v) + 1))
+        want[(lo, hi)] = (common, round(sigma, 6))
+    assert set(got) == set(want)
+    for e, (c, s) in want.items():
+        assert got[e][0] == c, (e, got[e], c)
+        assert abs(got[e][1] - s) <= 1e-6, (e, got[e], s)
