@@ -7,5 +7,6 @@ from pcd_spark.streaming.ingest import (  # noqa: F401
     start_edge_ingestion,
     stateful_user_totals,
     click_purchase_join,
+    click_purchase_left_join,
     enrich_with_dimension,
 )

@@ -230,6 +230,51 @@ def click_purchase_join(
     ).select("click_id", F.col("c_user").alias("user_id"), "click_ts", "p_ts", "amount")
 
 
+def click_purchase_left_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """I11: stream-stream LEFT OUTER interval join — I9's funnel join with
+    the abandonment rows kept: EVERY click emits, and a click with no
+    same-user purchase in [click.ts, click.ts + horizon) emits once with
+    NULL purchase columns.
+
+    The semantics only exist because of the watermark: the engine cannot
+    know a click is unmatched until no matching purchase can still arrive,
+    i.e. until the purchase-side watermark passes click.ts + horizon — at
+    which point the buffered click is evicted AND emitted with nulls in the
+    same state cleanup. So null emission is watermark-DRIVEN (late by up to
+    one micro-batch, never early), and state stays O(rate x horizon) exactly
+    as in the inner form. This is the conversion-funnel drop-off query: the
+    null rows ARE the abandoned clicks, computed incrementally instead of by
+    an end-of-day batch anti-join.
+
+    Batch twin with DuckDB oracle: relational.queries.i9b already counts
+    zero-purchase clicks (LEFT JOIN + COUNT, n_purchases = 0 rows); the
+    streaming-specific part pinned in tests is WHEN the null row may appear
+    (only after the watermark passes the horizon boundary).
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("amount"),
+    ).withWatermark("p_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select("click_id", F.col("c_user").alias("user_id"), "click_ts", "p_ts", "amount")
+
+
 def enrich_with_dimension(
     events: DataFrame,
     dim: DataFrame,

@@ -464,3 +464,49 @@ def test_stream_static_enrichment_equals_batch(spark, stream_dirs):
     }
     assert got == want
     assert len(want) == 3  # the dim-missing user is dropped
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, stream_dirs):
+    """I11: left-outer stream-stream join — the abandonment (null) row for
+    an unmatched click must appear ONLY once the watermark passes
+    click_ts + horizon (before that the engine cannot know no purchase is
+    still coming), and matched pairs must equal the batch left-join matches.
+    Run A: watermark stops short of the boundary -> no null rows, matches
+    emit promptly. Run B: same data plus a late mover file that advances
+    both side watermarks (min-policy) past the boundary, dribbled one file
+    per micro-batch -> exactly the abandoned click emits with NULL purchase
+    columns."""
+    from pcd_spark.streaming import click_purchase_left_join, stream_events
+
+    src, ckpt, _ = stream_dirs
+    # user 1: click @0 matched by purchase @5; user 2: click @10, no
+    # purchase ever -> must become a NULL row once wm > 10 + 30
+    rows1 = [
+        (0, 1, "click", 0.0), (5, 1, "purchase", 10.0),
+        (10, 2, "click", 0.0),
+        (20, 3, "purchase", 3.0),  # wm after run A = 20 - 10 = 10 < 40
+    ]
+    _drop_file(_mk_events(spark, rows1), src, "b0.parquet")
+
+    def _run(tag):
+        ev = stream_events(spark, src, max_files_per_trigger=1)
+        joined = click_purchase_left_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+        return _run_to_memory(joined, f"ssj_left_{tag}", f"{ckpt}/{tag}").collect()
+
+    got1 = {(r["click_id"], r["user_id"], r["amount"]) for r in _run("a")}
+    assert (0, 1, 10.0) in got1  # the matched pair emits promptly
+    assert not any(amt is None for _, _, amt in got1), got1  # no early nulls
+
+    # movers: push BOTH side watermarks (min-policy) past 10 + 30 = 40;
+    # fresh checkpoint (a memory-sink query cannot recover), same files
+    # dribbled one per micro-batch so the mover lands in a later batch
+    rows2 = [(600, 99, "click", 0.0), (600, 99, "purchase", 5.0)]
+    _drop_file(_mk_events(spark, rows2), src, "b1.parquet")
+    got2 = {(r["click_id"], r["user_id"], r["amount"]) for r in _run("b")}
+    nulls = {(c, u) for c, u, amt in got2 if amt is None}
+    assert (2, 2) in nulls, got2  # the abandoned click surfaced as a NULL row
+    assert (0, 1) not in nulls  # matched clicks never also emit a null row
+    assert (0, 1, 10.0) in got2  # matches unchanged by the outer semantics
