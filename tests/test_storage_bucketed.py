@@ -86,3 +86,61 @@ def test_bucket_pruning_scan_metadata(spark, store):
     finally:
         spark.conf.set(key, prev)
     assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
+# ---------- A9: dynamic partition overwrite + partition pruning ---------------
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, tmp_path
+):
+    """Rewriting one partition must leave other partitions' FILES untouched
+    (same paths, same mtimes) — the incremental-backfill contract. Static
+    mode would truncate the table; dynamic rewrites only partitions present
+    in the incoming frame."""
+    import glob
+    import os
+
+    from pcd_spark.storage import write_partitioned
+
+    path = str(tmp_path / "ptab")
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "b"), (3, "de", "c")],
+        "id long, lang string, text string",
+    )
+    write_partitioned(df, path, "lang")
+    de_files = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/lang=de/*.parquet")
+    }
+    assert de_files
+
+    upd = spark.createDataFrame(
+        [(9, "en", "z")], "id long, lang string, text string"
+    )
+    write_partitioned(upd, path, "lang")
+
+    # de partition byte-untouched; en partition replaced by the new row
+    assert {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/lang=de/*.parquet")
+    } == de_files
+    got = {(r["id"], r["lang"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(9, "en"), (3, "de")}
+
+
+def test_partition_filter_reaches_scan(spark, tmp_path):
+    """A filter on the partition column must prune at the DIRECTORY level:
+    the physical scan shows it under PartitionFilters (not PushedFilters),
+    and the pruned read returns only the matching partition."""
+    from pcd_spark.storage import write_partitioned
+
+    path = str(tmp_path / "ptab2")
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", "t") for i in range(10)],
+        "id long, lang string, text string",
+    )
+    write_partitioned(df, path, "lang")
+    rd = spark.read.parquet(path).filter("lang = 'en'").select("id")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+    assert rd.count() == 5
