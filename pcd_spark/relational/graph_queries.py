@@ -1204,3 +1204,68 @@ def k38(spark, sf):
     from pcd_spark.graph.quality import scan_similarity
 
     return scan_similarity(part_cooccurrence_edges(spark, sf))
+
+
+@g(
+    "k39_triad_motifs",
+    f"""WITH e AS ({_PRECEDENCE_EDGES_SQL}),
+        cyc AS (
+          SELECT COUNT(*) AS n_cyclic
+          FROM e e1 JOIN e e2 ON e2.src = e1.dst
+                    JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src
+          WHERE e1.src < e1.dst AND e1.src < e2.dst),
+        tr AS (
+          SELECT COUNT(*) AS n_transitive
+          FROM e e1 JOIN e e2 ON e2.src = e1.dst AND e2.dst <> e1.src
+                    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        SELECT c.n_cyclic, t.n_transitive,
+               ROUND(CAST(t.n_transitive AS DOUBLE)
+                     / (c.n_cyclic + t.n_transitive), 6) AS frac_transitive
+        FROM cyc c CROSS JOIN tr t""",
+)
+def k39(spark, sf):
+    """K39 (round 3): directed triangle motif census — cyclic (u→v→w→u)
+    vs transitive (u→v→w plus the shortcut u→w) triangle counts and the
+    transitive fraction, the smallest-motif signature that separates
+    hierarchy-like graphs (dependency/citation DAG-ish: almost all
+    transitive) from flow-like graphs [PUB: Milo et al., "Network motifs",
+    Science 2002; Holland & Leinhardt's triad census restricted to the two
+    3-edge triangle classes]. Runs on the directed part-precedence graph
+    (K36's), whose mix of one-way and mutual pairs exercises both classes.
+
+    Spark shape: two chained equi-joins over the directed edge table — a
+    two-hop wedge (src-keyed) closed by one more equi-join — then ONE
+    global agg; the same cost class as K6 with the closing join keyed on
+    (src, dst). Cycles are canonicalized scan-side (e1.src smallest) so
+    each cyclic triangle is counted once instead of once per rotation —
+    cheaper than counting 3x and dividing, because the filter prunes 2/3
+    of the wedge fan-out BEFORE the closing join. Transitive triads are
+    counted once for free (their three roles are distinguishable). At
+    10^12 edges the wedge join is the binding stage; the K6 degree-
+    orientation refinement and AQE skew-split apply unchanged."""
+    e = part_precedence_edges(spark, sf)
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3c = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    cyc = (
+        e1.filter(F.col("a") < F.col("b"))
+        .join(e2, "b")
+        .filter(F.col("a") < F.col("c"))
+        .join(e3c, ["c", "a"])
+        .agg(F.count("*").alias("n_cyclic"))
+    )
+    e3t = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tr = (
+        e1.join(e2, "b")
+        .filter(F.col("c") != F.col("a"))
+        .join(e3t, ["a", "c"])
+        .agg(F.count("*").alias("n_transitive"))
+    )
+    nc, nt = cyc.first()["n_cyclic"], tr.first()["n_transitive"]
+    # two 1-row scalars (the k37 discipline): collected O(1) and emitted as
+    # literals — a join of two single-row aggs would plan a BNLJ
+    return spark.range(1).select(
+        F.lit(nc).cast("long").alias("n_cyclic"),
+        F.lit(nt).cast("long").alias("n_transitive"),
+        F.round(F.lit(float(nt) / (nc + nt)), 6).alias("frac_transitive"),
+    )

@@ -681,6 +681,29 @@ def g3(spark, sf):
     ).distinct()
 
 
+@q(
+    "g5_bag_set_ops",
+    """WITH a AS (SELECT o_custkey AS k FROM orders),
+        b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+       SELECT k, COUNT(*) AS n FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+       GROUP BY k""",
+)
+def g5(spark, sf):
+    # G5: bag (multiset) set ops — EXCEPT ALL keeps multiplicities
+    # (max(count_a - count_b, 0) copies per key), which the DISTINCT forms
+    # g2/g3 erase. The one place multiplicity matters in a pipeline: "each
+    # customer's open-order count" = all orders minus finished orders AS
+    # BAGS. Spark plans exceptAll as a single hash agg of +1/-1 counts +
+    # generate (no join, one shuffle) — the rollup here makes the
+    # multiplicities themselves the oracle-checked output.
+    o = load(spark, sf, "orders")
+    a = o.select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.exceptAll(b).groupBy("k").agg(F.count("*").alias("n"))
+
+
 # =========================================================================
 # H. scalar functions
 # =========================================================================

@@ -171,3 +171,39 @@ def test_v9_sq8_recall_vs_exact(spark, sf_dir):
     hits = sum(len(got[p] & exact[p]) for p in range(5))
     assert all(len(got[p]) == 3 for p in range(5)), got
     assert hits / 15 >= 0.8, (hits / 15, got, exact)
+
+
+def test_k39_triad_motifs_match_bruteforce(spark, sf_dir):
+    """K39 vs an independent pure-python brute force over the same directed
+    precedence edge set (successor-set walk, cycles canonicalized at the
+    smallest vertex) — guards against the SQL oracle and the Spark plan
+    sharing a conceptual miscount."""
+    import duckdb as _d
+
+    con = _d.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    edges = set(
+        con.execute(
+            """SELECT DISTINCT a.l_partkey, b.l_partkey
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_linenumber < b.l_linenumber
+                AND a.l_partkey <> b.l_partkey"""
+        ).fetchall()
+    )
+    succ: dict[int, set] = {}
+    for u, v in edges:
+        succ.setdefault(u, set()).add(v)
+    cyc = tr = 0
+    for u, v in edges:
+        for w in succ.get(v, ()):
+            if w != u and (u, w) in edges:
+                tr += 1
+            if u < v and w > u and (w, u) in edges:
+                cyc += 1
+    row = REGISTRY["k39_triad_motifs"]["spark"](spark, sf_dir).first()
+    assert (row["n_cyclic"], row["n_transitive"]) == (cyc, tr)
+    assert abs(row["frac_transitive"] - round(tr / (cyc + tr), 6)) < 1e-9
