@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "k36_reciprocity",
     "k37_degree_distribution",
     "v9_sq8_topk",
+    "k38_scan_similarity",
+    "k39_triad_motifs",
+    "g5_bag_set_ops",
 ]
 
 

@@ -221,8 +221,8 @@ def scan_similarity(edges: DataFrame, round_to: int | None = 6) -> DataFrame:
     Returns (src, dst, n_common, sigma) with src < dst canonical and sigma
     rounded to `round_to` for cross-engine hash stability.
     """
+    from pcd_spark.graph.triangles import _BCAST_DEG_MAX_V, _oriented
     from pcd_spark.graph.truss import _edge_support
-    from pcd_spark.graph.triangles import _oriented
 
     canon = canonical_undirected(edges).persist()
     n_e = canon.count()
@@ -230,23 +230,28 @@ def scan_similarity(edges: DataFrame, round_to: int | None = 6) -> DataFrame:
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = both.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
-    sup = _edge_support(_oriented(canon), n_e).select(
+    # V <= 2E, so the O(V) degree table broadcasts whenever the edge count
+    # is within the orientation-join bound — both per-endpoint joins become
+    # map-side hash joins with zero shuffle of the O(E) edge side (the
+    # _oriented discipline)
+    if 2 * n_e <= _BCAST_DEG_MAX_V:
+        deg = F.broadcast(deg)
+    # include_zeros folds the no-triangle edges into the support hash agg
+    # itself — every canonical edge comes back with its support, so no
+    # O(E)-to-O(E) join of supports onto the edge table is ever planned
+    sup = _edge_support(_oriented(canon), n_e, include_zeros=True).select(
         F.least("u", "v").alias("src"),
         F.greatest("u", "v").alias("dst"),
         "sup",
     )
-    out = (
-        canon.join(sup, ["src", "dst"], "left")
-        .join(
-            deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "ds"),
-            "src",
-        )
-        .join(
-            deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "dd"),
-            "dst",
-        )
+    out = sup.join(
+        deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "ds"),
+        "src",
+    ).join(
+        deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "dd"),
+        "dst",
     )
-    n_common = F.coalesce(F.col("sup"), F.lit(0).cast("long"))
+    n_common = F.col("sup")
     sigma = (n_common + 2) / F.sqrt((F.col("ds") + 1.0) * (F.col("dd") + 1.0))
     if round_to is not None:
         sigma = F.round(sigma, round_to)

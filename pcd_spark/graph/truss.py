@@ -38,8 +38,18 @@ from pcd_spark.graph.edges import canonical_undirected
 from pcd_spark.graph.triangles import _BCAST_CLOSING_MAX_E, _oriented
 
 
-def _edge_support(o: DataFrame, n_o: int) -> DataFrame:
-    """Per-oriented-edge triangle support: (u, v, sup)."""
+def _edge_support(
+    o: DataFrame, n_o: int, include_zeros: bool = False
+) -> DataFrame:
+    """Per-oriented-edge triangle support: (u, v, sup).
+
+    include_zeros=True additionally emits sup=0 rows for edges in NO
+    triangle, by unioning a weight-0 copy of the edge table into the SAME
+    hash agg — strictly cheaper than the alternative (an O(E)-to-O(E)
+    shuffle join of supports back onto the edge table), since the union
+    adds E rows to an agg input that is already 3x the triangle count and
+    map-side combined. Truss peeling doesn't need them (support < k-2
+    includes 0 implicitly via the inner rejoin); K38's similarity does."""
     a = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
     b = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
     wedges = a.join(b, "a").filter(F.col("b") != F.col("c"))
@@ -61,7 +71,14 @@ def _edge_support(o: DataFrame, n_o: int) -> DataFrame:
             )
         ).alias("e")
     ).select("e.u", "e.v")
-    return pairs.groupBy("u", "v").agg(F.count("*").alias("sup"))
+    if not include_zeros:
+        return pairs.groupBy("u", "v").agg(F.count("*").alias("sup"))
+    weighted = pairs.select("u", "v", F.lit(1).alias("w")).unionByName(
+        o.select("u", "v", F.lit(0).alias("w"))
+    )
+    return weighted.groupBy("u", "v").agg(
+        F.sum("w").cast("long").alias("sup")
+    )
 
 
 def k_truss(
