@@ -195,7 +195,13 @@ def derive_edges(
     single-partition global sort — round 1 shipped THIS as the default and
     it was the first scale-killer on the bench (41.5 s for 20k files).
     """
-    latest = latest_commits(corpus)
+    # persisted: latest_commits is a window over the FULL corpus rows
+    # (content rides the shuffle) and is consumed by the vid dictionary's
+    # collision audit, the module index, AND the import extraction — left
+    # lazy it re-runs that corpus-wide window once per consumer (measured
+    # 3x ≈ +6 s on the 20k-file bench). Cached once, unpersisted below as
+    # soon as the last content-consuming projection is materialized.
+    latest = latest_commits(corpus).persist()
     if deterministic_dense_ids:
         verts = vertex_dictionary(latest).persist()
     else:
@@ -211,7 +217,11 @@ def derive_edges(
     # the final per-statement join — and it is the LAST consumer of the full
     # corpus scan, so caching this small (src, repo, module) projection (no
     # content column) caps the pipeline at two corpus scans total (vids +
-    # imports) at any scale; round 1 re-scanned per reference instead
+    # imports) at any scale; round 1 re-scanned per reference instead.
+    # Materialized EAGERLY so `latest` (the only cache still holding file
+    # content) can be released before return instead of leaking for the
+    # session — downstream (resolution + edge agg) reads only this narrow
+    # cached projection and the O(V) verts cache.
     src_side = (
         imports.join(
             verts.select(F.col("vid").alias("src"), "repo", "path"),
@@ -220,6 +230,8 @@ def derive_edges(
         .select("src", F.col("repo").alias("src_repo"), "module")
         .persist()
     )
+    src_side.count()
+    latest.unpersist()
 
     # Resolution winner depends only on (src_repo, module) — resolve once on
     # the distinct pairs, then join the per-statement rows back (keeps
