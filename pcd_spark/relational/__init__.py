@@ -86,7 +86,7 @@ _PRIORITY = [
     "c11_null_safe_join", "g4_union_by_name",
     "k35_transitivity", "v8_cosine_range",
     "k36_reciprocity", "k37_degree_distribution", "v9_sq8_topk",
-    "k38_scan_similarity", "k39_triad_motifs", "g5_bag_set_ops",
+    "k38_scan_similarity", "k39_triad_motifs", "g5_bag_set_ops", "e8_cume_dist",
     "d13_pivot", "d14_unpivot",
     "d8_collect_set", "d9_rollup", "d10_grouped_pandas_udaf",
     "f2_limit", "h2_regexp_extract_all", "h9_map_functions",

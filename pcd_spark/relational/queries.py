@@ -541,6 +541,31 @@ def e6(spark, sf):
     )
 
 
+@q(
+    "e8_cume_dist",
+    """SELECT o_orderkey,
+              ROUND(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cd
+       FROM orders""",
+)
+def e8(spark, sf):
+    # E8: global cumulative distribution — e6's remaining sibling, same
+    # scale rule: NO partition-less Window (single-task funnel); rank via
+    # the two-phase range-partitioned global_rank, then CUME_DIST under a
+    # TOTAL order (the o_orderkey tiebreak means no ties) is exactly rn/N.
+    o = load(spark, sf, "orders")
+    stats: dict = {}
+    ranked = global_rank(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        stats_out=stats,
+    )
+    n = stats["total"]
+    return ranked.select(
+        "o_orderkey",
+        F.round(F.col("rn") / F.lit(float(n)), 6).alias("cd"),
+    )
+
+
 # =========================================================================
 # F. sorts / limits / top-k
 # =========================================================================

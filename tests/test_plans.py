@@ -37,6 +37,7 @@ PLAN_SWEEP = [
     "d9_rollup", "d9b_cube",
     "e1_rownum_latest", "e2_dense_rank", "e3_topk_per_group",
     "e4_lag_delta", "e5_moving_avg", "e6_ntile_percent_rank",
+    "e8_cume_dist",
     "f1_global_sort", "f2_limit", "f3_global_topk",
     "g1_union", "g2_intersect", "g3_except",
     "h1_sha256", "h2_regexp_extract_all", "h3_string_basics",
