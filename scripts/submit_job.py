@@ -24,7 +24,8 @@ def main() -> None:
                              "modularity", "lcc", "sssp", "louvain", "hits",
                              "scc", "hyperball", "harmonic", "betweenness",
                              "ktruss", "coreness", "mis", "projection",
-                             "butterflies", "coloring", "katz", "condense"])
+                             "butterflies", "coloring", "katz", "condense",
+                             "scan"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -136,6 +137,10 @@ def main() -> None:
     elif args.algo == "mis":
         res = maximal_independent_set(edges, max_iter=args.max_iter,
                                       store=store, stats_out=stats)
+    elif args.algo == "scan":
+        from pcd_spark.graph import scan_similarity
+
+        res = scan_similarity(edges)
     elif args.algo == "projection":
         # input treated as bipartite (src = center, dst = side)
         res = bipartite_projection(edges)
