@@ -256,11 +256,32 @@ def label_propagation(
         state.createOrReplaceTempView(state_view)
         return spark.sql(step_sql)
 
+    def resume_fix(state: DataFrame) -> DataFrame:
+        # LPA checkpoints are (rank-)ENCODED against the checkpoint-time
+        # vertex set, and the fixpoint is trajectory-dependent — unlike
+        # PageRank (unique fixpoint, pagerank.resume_fix re-anchors onto a
+        # grown graph), a label state resumed onto a DIFFERENT graph would
+        # silently decode through the wrong bijection / never visit new
+        # vertices. Guard: same vertex count (the dict derivation is
+        # deterministic, so same graph -> same bijection); anything else is
+        # a hard error telling the caller to rerun from scratch.
+        n_state = state.count()
+        n_now = verts.count()
+        if n_state != n_now:
+            raise ValueError(
+                "label_propagation: checkpoint was written for a graph "
+                f"with {n_state} vertices but the current edge table has "
+                f"{n_now} — LPA state is encoded against the checkpoint-"
+                "time vertex set and cannot be re-anchored; rerun with "
+                "resume=False (or a fresh run_id) on the new graph"
+            )
+        return state
+
     _secs: list[float] = []
     final, iters, metrics = run_supersteps(
         init, step, tol=0.5, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
-        disable_aqe=True,
+        resume_fix=resume_fix, disable_aqe=True,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters

@@ -7,6 +7,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from pcd_spark.graph import label_propagation, pagerank
 from pcd_spark.storage import CheckpointStore
 from tests.conftest import edges_df
@@ -135,3 +137,23 @@ def test_pagerank_resume_from_pre_dang_checkpoint(spark, graphs, tmp_path):
         for r in pagerank(e, tol=1e-10, max_iter=60, store=s2, checkpoint_every=10).collect()
     }
     assert resumed == full
+
+
+def test_lpa_resume_on_grown_graph_raises(spark, graphs, tmp_path):
+    """LPA state is (rank-)encoded against the checkpoint-time vertex set
+    and its fixpoint is trajectory-dependent, so — unlike PageRank, which
+    re-anchors — resuming onto a graph with a different vertex set must be
+    a hard error, not a silent relabeling through the wrong bijection."""
+    g = graphs["er_200"]
+    e = edges_df(spark, g["edges"])
+    base = str(tmp_path / "ck")
+
+    s1 = CheckpointStore(base, "lpa", run_id="grow")
+    label_propagation(e, max_iter=6, store=s1, checkpoint_every=2).collect()
+
+    grown = e.unionByName(
+        spark.createDataFrame([(9001, 9002), (9002, 9003)], "src long, dst long")
+    )
+    s2 = CheckpointStore(base, "lpa", run_id="grow")
+    with pytest.raises(ValueError, match="cannot be re-anchored"):
+        label_propagation(grown, max_iter=6, store=s2, checkpoint_every=2)
