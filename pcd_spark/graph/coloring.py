@@ -49,7 +49,7 @@ def greedy_coloring(
     p = num_parts or adaptive_num_parts(edges)
 
     sym = symmetrize(edges).repartition(p, "src").persist()
-    sym.count()
+    _gtok = f"edges={sym.count()}"
 
     init = (
         sym.select(F.col("src").alias("vid"))
@@ -130,7 +130,7 @@ def greedy_coloring(
 
     final, iters, metrics = run_supersteps(
         init, step, tol=0.5, max_iter=max_iter,
-        store=store, checkpoint_every=checkpoint_every,
+        store=store, checkpoint_every=checkpoint_every, graph_token=_gtok,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters

@@ -123,7 +123,7 @@ def _hyperball_core(
     edges = edges.persist()
     p = num_parts or adaptive_num_parts(edges)
     sym = symmetrize(edges).repartition(p, "src").persist()
-    sym.count()
+    _gtok = f"edges={sym.count()}"
 
     verts = sym.select(F.col("src").alias("vid")).distinct()
     init_cols = [
@@ -192,6 +192,7 @@ def _hyperball_core(
         max_iter=max_iter,
         store=store,
         checkpoint_every=checkpoint_every,
+        graph_token=_gtok,
         extra_aggs={"nf": F.sum(_hll_estimate(F.col("regs"), m))},
         extras_out={},
         extras_log=nf_log,

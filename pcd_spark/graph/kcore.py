@@ -48,7 +48,7 @@ def k_core(
     p = num_parts or adaptive_num_parts(edges)
 
     sym = symmetrize(edges).repartition(p, "src").persist()
-    sym.count()
+    _gtok = f"edges={sym.count()}"
 
     deg0 = sym.groupBy(F.col("src").alias("vid")).agg(
         F.count("*").alias("deg")
@@ -84,7 +84,7 @@ def k_core(
 
     final, iters, metrics = run_supersteps(
         init, step, tol=0.5, max_iter=max_iter,
-        store=store, checkpoint_every=checkpoint_every,
+        store=store, checkpoint_every=checkpoint_every, graph_token=_gtok,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters
@@ -131,7 +131,7 @@ def coreness(
     p = num_parts or adaptive_num_parts(edges)
 
     sym = symmetrize(edges).repartition(p, "src").persist()
-    sym.count()
+    _gtok = f"edges={sym.count()}"
 
     init = (
         sym.groupBy(F.col("src").alias("vid"))
@@ -164,7 +164,7 @@ def coreness(
 
     final, iters, metrics = run_supersteps(
         init, step, tol=0.5, max_iter=max_iter,
-        store=store, checkpoint_every=checkpoint_every,
+        store=store, checkpoint_every=checkpoint_every, graph_token=_gtok,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters

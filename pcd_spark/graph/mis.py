@@ -55,7 +55,7 @@ def maximal_independent_set(
     p = num_parts or adaptive_num_parts(edges)
 
     sym = symmetrize(edges).repartition(p, "src").persist()
-    sym.count()
+    _gtok = f"edges={sym.count()}"
 
     init = (
         sym.select(F.col("src").alias("vid"))
@@ -126,7 +126,7 @@ def maximal_independent_set(
 
     final, iters, metrics = run_supersteps(
         init, step, tol=0.5, max_iter=max_iter,
-        store=store, checkpoint_every=checkpoint_every,
+        store=store, checkpoint_every=checkpoint_every, graph_token=_gtok,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters

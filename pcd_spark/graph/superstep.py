@@ -111,6 +111,7 @@ def run_supersteps(
     resume_fix: Callable[[DataFrame], DataFrame] | None = None,
     disable_aqe: bool = False,
     extras_log: list | None = None,
+    graph_token: str | None = None,
 ) -> tuple[DataFrame, int, list[tuple[int, float]]]:
     """Run step_fn until sum(_delta) < tol or max_iter. Returns
     (final_state_with_delta, iterations_run, [(iteration, delta), ...]).
@@ -139,6 +140,24 @@ def run_supersteps(
     if store is not None and resume:
         m = store.latest()
         if m is not None:
+            # graph-token guard: a checkpoint carries a fingerprint of the
+            # graph it was computed on; a trajectory-dependent algorithm
+            # (no resume_fix to re-anchor) must NOT silently continue onto
+            # a different graph — its state references the old vertex set.
+            # Old manifests (token None) pass through for compatibility.
+            if (
+                graph_token is not None
+                and getattr(m, "graph_token", None) is not None
+                and m.graph_token != graph_token
+                and resume_fix is None
+            ):
+                raise ValueError(
+                    f"run_supersteps: checkpoint iter={m.iteration} was "
+                    f"written for graph [{m.graph_token}] but this run is "
+                    f"on graph [{graph_token}] — state cannot be re-"
+                    "anchored for this algorithm; rerun with resume=False "
+                    "or a fresh run_id"
+                )
             state = store.read_state(init_state.sparkSession, m.iteration)
             if resume_fix is not None:
                 # schema-compatibility hook: a checkpoint written by an older
@@ -206,9 +225,9 @@ def run_supersteps(
             if store is not None and (
                 it % checkpoint_every == 0 or delta < tol or it == max_iter
             ):
-                durable = store.checkpoint(it, new_ck, delta).localCheckpoint(
-                    eager=True
-                )
+                durable = store.checkpoint(
+                    it, new_ck, delta, graph_token=graph_token
+                ).localCheckpoint(eager=True)
                 new_ck.unpersist()
                 new_ck = durable
             ck.unpersist()

@@ -41,6 +41,11 @@ class Manifest:
     state_sha: str | None
     delta_metric: float
     ts: str
+    #: cheap fingerprint of the INPUT GRAPH the state was computed on
+    #: (e.g. "edges=N"); resume compares it so a trajectory-dependent
+    #: algorithm cannot silently continue a checkpoint onto a different
+    #: graph. None on manifests written before the field existed.
+    graph_token: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -90,7 +95,11 @@ class CheckpointStore:
     # -- write path ---------------------------------------------------------
 
     def checkpoint(
-        self, iteration: int, state: DataFrame, delta_metric: float
+        self,
+        iteration: int,
+        state: DataFrame,
+        delta_metric: float,
+        graph_token: str | None = None,
     ) -> DataFrame:
         """Snapshot state, commit manifest, return the re-read DataFrame
         (lineage truncated). Atomic: manifest rename is the commit point —
@@ -116,6 +125,7 @@ class CheckpointStore:
             state_sha=_state_sha(reread) if self.integrity else None,
             delta_metric=float(delta_metric),
             ts=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            graph_token=graph_token,
         )
         tmp = os.path.join(self.dir, f".tmp-{iteration:05d}.json")
         final = os.path.join(self.dir, f"{MANIFEST_PREFIX}{iteration:05d}.json")

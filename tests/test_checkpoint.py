@@ -157,3 +157,27 @@ def test_lpa_resume_on_grown_graph_raises(spark, graphs, tmp_path):
     s2 = CheckpointStore(base, "lpa", run_id="grow")
     with pytest.raises(ValueError, match="cannot be re-anchored"):
         label_propagation(grown, max_iter=6, store=s2, checkpoint_every=2)
+
+
+def test_kcore_resume_on_changed_graph_raises(spark, graphs, tmp_path):
+    """The manifest graph-token guard: k-core peeling is trajectory-bound
+    with NO re-anchoring resume_fix, so resuming its checkpoint onto a
+    graph with a different edge set must raise instead of peeling a stale
+    alive-set. (PageRank/CC keep resuming across graph growth — they carry
+    a resume_fix that re-anchors, and the guard defers to it.)"""
+    from pcd_spark.graph import k_core
+
+    g = graphs["er_200"]
+    e = edges_df(spark, g["edges"])
+    base = str(tmp_path / "ck")
+
+    s1 = CheckpointStore(base, "kcore", run_id="grow")
+    k_core(e, k=3, max_iter=8, store=s1, checkpoint_every=2).collect()
+    assert s1.latest().graph_token is not None
+
+    grown = e.unionByName(
+        spark.createDataFrame([(9001, 9002)], "src long, dst long")
+    )
+    s2 = CheckpointStore(base, "kcore", run_id="grow")
+    with pytest.raises(ValueError, match="graph_token|cannot be re-anchored|rerun with resume=False"):
+        k_core(grown, k=3, max_iter=8, store=s2, checkpoint_every=2)
