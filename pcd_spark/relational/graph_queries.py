@@ -1243,7 +1243,10 @@ def k39(spark, sf):
     counted once for free (their three roles are distinguishable). At
     10^12 edges the wedge join is the binding stage; the K6 degree-
     orientation refinement and AQE skew-split apply unchanged."""
-    e = part_precedence_edges(spark, sf)
+    # persisted: the derived edge table (a lineitem self-join + DISTINCT)
+    # is scanned by BOTH census jobs — cache one materialization, release
+    # after the two O(1) scalars are on the driver
+    e = part_precedence_edges(spark, sf).persist()
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3c = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
@@ -1262,6 +1265,7 @@ def k39(spark, sf):
         .agg(F.count("*").alias("n_transitive"))
     )
     nc, nt = cyc.first()["n_cyclic"], tr.first()["n_transitive"]
+    e.unpersist()
     # two 1-row scalars (the k37 discipline): collected O(1) and emitted as
     # literals — a join of two single-row aggs would plan a BNLJ
     return spark.range(1).select(
