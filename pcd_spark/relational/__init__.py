@@ -32,62 +32,66 @@ _ALL: dict = {**_CORE, **_TEXT, **_GRAPH}
 # pytest-mirrored every run). D keeps d1/d6/d11, I keeps i8/i9/i10
 # (+ e7 is the relational sessionization twin of i4), X keeps 13 reps,
 # K keeps 12.
+# Window policy (round 3, final rotation), same rule: the thirteen round-3
+# SQL-oracled operators that never had a driver row (c11, g4, d13, d14,
+# e8, g5, k35-k39, v8, v9) take the slots of thirteen unchanged-since-
+# green entries (e1, c9, i10, x1, x2, x9, x11, x12, v2, v3, k12, k16,
+# k19 — every one r1/r2-driver-green, code untouched since, hash-matched
+# again in this round's full preflight and the all-entries pytest
+# mirror). Every family keeps in-window representatives: C keeps c1+c11,
+# E keeps e6/e7/e8, I keeps i8/i9, X keeps 9, V keeps v1/v4/v8/v9,
+# K keeps 14.
 _PRIORITY = [
     # B. projection / filters (b2..b5 -> round-1 green, pytest mirror)
     "b1_project_cast",
-    # C. joins (broadcast/SHJ/theta/range -> round-1 green, pytest mirror)
-    "c1_join_inner_agg", "c9_asof_join",
+    # C. joins (broadcast/SHJ/theta/range/as-of -> driver-green, pytest mirror)
+    "c1_join_inner_agg", "c11_null_safe_join",
     # D. aggregation (d2/d3/d4 -> round-1 green, pytest mirror)
     "d1_groupby_agg", "d6_deterministic_argmax",
     "d11_group_percentiles", "d12_grouped_stats",
-    # E. windows (e2..e6 -> round-1 green, pytest mirror)
-    "e1_rownum_latest", "e6_ntile_percent_rank", "e7_sessionization",
+    "d13_pivot", "d14_unpivot",
+    # E. windows (e1..e5 -> driver-green, pytest mirror)
+    "e6_ntile_percent_rank", "e7_sessionization", "e8_cume_dist",
     # F. sort / limit / top-k
     "f1_global_sort", "f3_global_topk",
     # G. set ops (intersect/except -> pytest mirror)
-    "g1_union",
+    "g1_union", "g4_union_by_name", "g5_bag_set_ops",
     # H. scalar function families (string/date/math/array -> pytest mirror)
     "h1_sha256",
-    # I. streaming batch twins
+    # I. streaming batch twins (i10 -> r2 driver-green, pytest mirror)
     "i8_distinct_users_batch", "i9_interval_join_batch",
-    # i10 (round-3 late addition, never driver-verified) takes the slot of
-    # unchanged-green h9 (r2 green, preflight'd; H keeps h1 in-window)
-    "i10_stream_static_join_batch",
     # J. pandas/Arrow surfaces
     "j2_blob_digest",
-    # X. dedup / text analysis / data quality (x5/x8 -> pytest mirror; x10 is
-    # the composite LSH -> connected-components dedup-clustering showcase)
-    "x1_dedup_exact", "x2_minhash_signature",
+    # X. dedup / text analysis / data quality (x1/x2/x9/x11/x12 ->
+    # driver-green, pytest mirror; x10 is the composite LSH ->
+    # connected-components dedup-clustering showcase)
     "x4_ngram_jaccard_pairs",
-    "x9_simhash", "x10_neardup_clusters", "x11_repetition_metrics",
-    "x12_decontamination", "x14_dedup_keep_best",
+    "x10_neardup_clusters",
+    "x14_dedup_keep_best",
     "x17_sequence_packing",
     "x19_source_quality_gate",
     "x20_boilerplate_grams", "x21_word_entropy",
-    # x22 (round-3 late addition, never driver-verified) takes the slot of
-    # unchanged-green x18 (stateless hash threshold, r2 green, preflight'd)
     "x22_containment_pairs", "x23_tfidf_topk",
-    # V. similarity search
-    "v1_cosine_topk", "v2_lsh_sign_buckets", "v3_embedding_neardup",
-    "v4_ivf_topk",
+    # V. similarity search (v2/v3 -> driver-green, pytest mirror)
+    "v1_cosine_topk", "v4_ivf_topk", "v8_cosine_range", "v9_sq8_topk",
     # M. multimodal
     "m3_frame_sample",
     # K. graph (SQL-oracled rows; iterative k3/k5/k8/k10/k13+ are
-    # numpy/networkx-pinned)
+    # numpy/networkx-pinned; k12/k16/k19 -> driver-green, pytest mirror)
     "k1_degrees", "k4_connected_components", "k6_triangles",
-    "k11_clustering_coefficient", "k12_bfs_distances", "k16_link_prediction",
-    "k19_neighbor_features", "k20_scc",
+    "k11_clustering_coefficient", "k20_scc",
     "k26_bipartite_projection", "k28_butterflies", "k31_conductance",
     "k33_condensation_levels", "k34_two_hop_reach",
+    "k35_transitivity", "k36_reciprocity", "k37_degree_distribution",
+    "k38_scan_similarity", "k39_triad_motifs",
     # ---- position 51+: registered, pytest-oracled, outside driver window ----
-    # (c11/g4/k35/v8 are round-3 additions with full SQL oracles; the window
-    # is at capacity, so their hash evidence comes from the all-entries
-    # pytest mirror + preflight rather than a driver slot)
-    "c11_null_safe_join", "g4_union_by_name",
-    "k35_transitivity", "v8_cosine_range",
-    "k36_reciprocity", "k37_degree_distribution", "v9_sq8_topk",
-    "k38_scan_similarity", "k39_triad_motifs", "g5_bag_set_ops", "e8_cume_dist",
-    "d13_pivot", "d14_unpivot",
+    # (rotated out or never in: every entry here is hash-matched by the
+    # all-entries pytest mirror and scripts/preflight.py --all each round)
+    "e1_rownum_latest", "c9_asof_join", "i10_stream_static_join_batch",
+    "x1_dedup_exact", "x2_minhash_signature", "x9_simhash",
+    "x11_repetition_metrics", "x12_decontamination",
+    "v2_lsh_sign_buckets", "v3_embedding_neardup",
+    "k12_bfs_distances", "k16_link_prediction", "k19_neighbor_features",
     "d8_collect_set", "d9_rollup", "d10_grouped_pandas_udaf",
     "f2_limit", "h2_regexp_extract_all", "h9_map_functions",
     "j3_scalar_pandas_udf",
