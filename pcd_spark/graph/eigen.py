@@ -49,7 +49,7 @@ def eigenvector_centrality(
     edges = edges.persist()
     p = num_parts or adaptive_num_parts(edges)
     sym = symmetrize(edges).repartition(p, "src").persist()
-    sym.count()
+    _gtok = f"edges={sym.count()}"
 
     verts = vertices_of(sym).persist()
     n = verts.count()
@@ -96,7 +96,7 @@ def eigenvector_centrality(
 
     final, iters, metrics = run_supersteps(
         init, step, tol=n * tol, max_iter=max_iter,
-        store=store, checkpoint_every=checkpoint_every,
+        store=store, checkpoint_every=checkpoint_every, graph_token=_gtok,
         extra_aggs={"ss": F.sum(F.col("x_raw") * F.col("x_raw"))},
         extras_out=extras,
         disable_aqe=True,

@@ -68,7 +68,9 @@ def hits(
         .repartition(p, "src")
         .persist()
     )
-    if e.count() == 0:
+    _m = e.count()
+    _gtok = f"edges={_m}"
+    if _m == 0:
         raise ValueError("hits: edge table is empty")
     # second copy partitioned on dst: the hub half-step joins edges against
     # the fresh authority scores ON dst every superstep — without this the
@@ -141,6 +143,7 @@ def hits(
     final, iters, metrics = run_supersteps(
         init, step, tol=tol, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every, step_secs=_secs,
+        graph_token=_gtok,
         extra_aggs={"sa": F.sum("a_raw"), "sh": F.sum("h_raw")},
         extras_out=extras,
         disable_aqe=True,

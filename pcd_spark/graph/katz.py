@@ -54,7 +54,7 @@ def katz_centrality(
         .repartition(p, "src")
         .persist()
     )
-    ed.count()
+    _gtok = f"edges={ed.count()}"
     verts = vertices_of(edges).persist()
     n = verts.count()
     if n == 0:
@@ -101,6 +101,7 @@ def katz_centrality(
     final, iters, metrics = run_supersteps(
         init, step, tol=n * tol, max_iter=max_iter,
         store=store, checkpoint_every=checkpoint_every, disable_aqe=True,
+        graph_token=_gtok,
     )
     drop_views(spark, ed_view, state_view)
     if metrics and metrics[-1][1] >= n * tol:

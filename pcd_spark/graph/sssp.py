@@ -73,7 +73,7 @@ def shortest_paths(
         .repartition(p, "src")
         .persist()
     )
-    e.count()
+    _gtok = f"edges={e.count()}"
 
     verts = (
         e.select(F.col("src").alias("vid"))
@@ -116,7 +116,7 @@ def shortest_paths(
 
     final, iters, metrics = run_supersteps(
         init, step, tol=0.5, max_iter=max_iter,
-        store=store, checkpoint_every=checkpoint_every,
+        store=store, checkpoint_every=checkpoint_every, graph_token=_gtok,
     )
     if stats_out is not None:
         stats_out["iterations"] = iters
