@@ -4,9 +4,12 @@ entry(spark)  — flagship: derive the customer–supplier interaction graph fro
                 sf0.001, run PageRank + label propagation through the engine,
                 report communities (size, mean/max rank).
 queries()     — one entry per implemented operator from SURVEY.md §2
-                (relational surface B–H incl. E8/G5, streaming batch twins,
-                text/dedup/similarity/vector ops X1–X23 / V1–V9, multimodal,
-                graph algorithms K1–K39), each (spark, sf_dir) -> DataFrame.
+                (relational surface B–H incl. the C12–C14 subquery forms,
+                E8/G5, H11/H12 generators, D15 heavy hitters, streaming
+                batch twins, text/dedup/similarity/vector ops X1–X23 /
+                V1–V10, multimodal, graph algorithms K1–K42 incl. K40
+                ARI/NMI agreement and K41 rich club), each
+                (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent ANSI SQL per query where expressible;
                 iterative-to-convergence algorithms (PageRank/LPA) and the
                 synthesized-corpus pipeline are rows-only by design — their

@@ -263,3 +263,137 @@ def scan_similarity(edges: DataFrame, round_to: int | None = 6) -> DataFrame:
     res = res.localCheckpoint(eager=True)
     canon.unpersist()
     return res
+
+
+def partition_agreement(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """K40: agreement between two partitions of the same item set —
+    adjusted Rand index [PUB: Hubert & Arabie 1985] and sqrt-normalized
+    mutual information [PUB: Strehl & Ghosh 2002], the two standard scores
+    for comparing community-detection outputs (LPA vs Louvain, run k vs
+    run k+1, detected vs ground truth).
+
+    `pairs` is DataFrame(item labeled a_col by partition A, b_col by B),
+    one row per item. Returns one row (n_items, ari, nmi).
+
+    Scale shape: ONE hash aggregation over the item table builds the
+    contingency table (map-side combined; its size is |A-labels| x
+    |B-labels|, data-scale-free); margins are two aggs OVER the
+    contingency table (never over items); the MI term joins contingency
+    to both margin tables — broadcast, since margins are label-domain-
+    sized. All pair-count/entropy sums then reduce to O(1) scalars,
+    collected and emitted as one literal row (the k37 discipline: joining
+    1-row aggs would plan a BNLJ). No sort, no window, nothing O(items)
+    after the first agg."""
+    cont = (
+        pairs.groupBy(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .agg(F.count("*").alias("nij"))
+        .persist()
+    )
+    am = cont.groupBy("_a").agg(F.sum("nij").alias("ai"))
+    bm = cont.groupBy("_b").agg(F.sum("nij").alias("bj"))
+
+    def _pairs2(c):
+        return F.sum(c * (c - F.lit(1)) / F.lit(2.0))
+
+    s_ij = cont.agg(
+        _pairs2(F.col("nij")).alias("s"), F.sum("nij").alias("n")
+    ).first()
+    n = float(s_ij["n"])
+    sij = float(s_ij["s"])
+    sa = float(am.agg(_pairs2(F.col("ai")).alias("s")).first()["s"])
+    sb = float(bm.agg(_pairs2(F.col("bj")).alias("s")).first()["s"])
+    mi = float(
+        cont.join(F.broadcast(am), "_a")
+        .join(F.broadcast(bm), "_b")
+        .agg(
+            F.sum(
+                (F.col("nij") / n)
+                * F.log(n * F.col("nij") / (F.col("ai") * F.col("bj")))
+            ).alias("mi")
+        )
+        .first()["mi"]
+    )
+    ha = float(
+        am.agg((-F.sum((F.col("ai") / n) * F.log(F.col("ai") / n))).alias("h"))
+        .first()["h"]
+    )
+    hb = float(
+        bm.agg((-F.sum((F.col("bj") / n) * F.log(F.col("bj") / n))).alias("h"))
+        .first()["h"]
+    )
+    cont.unpersist()
+    npairs = n * (n - 1) / 2.0
+    expected = sa * sb / npairs
+    denom = (sa + sb) / 2.0 - expected
+    ari = (sij - expected) / denom if denom != 0.0 else 1.0
+    nmi = mi / (ha * hb) ** 0.5 if ha > 0.0 and hb > 0.0 else 1.0
+    if round_to is not None:
+        ari, nmi = round(ari, round_to), round(nmi, round_to)
+    spark = pairs.sparkSession
+    return spark.range(1).select(
+        F.lit(int(n)).cast("long").alias("n_items"),
+        F.lit(ari).cast("double").alias("ari"),
+        F.lit(nmi).cast("double").alias("nmi"),
+    )
+
+
+def rich_club(
+    edges: DataFrame,
+    ks: tuple = (4, 8, 16, 32),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """K41: rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) over an
+    undirected canonical edge table, for each degree threshold k in `ks`
+    [PUB: Zhou & Mondragon 2004; Colizza et al., Nature Physics 2006] —
+    do high-degree hubs link to each other more than chance? The classic
+    core-structure diagnostic of internet/citation/dependency graphs.
+
+    Scale shape: degrees are ONE hash agg (K1); each edge picks up
+    min(deg_src, deg_dst) via two vid-keyed equi-joins (the k6 pattern —
+    degree table broadcast below the same cap, shuffled join above); then
+    EVERY threshold is a conditional SUM in ONE O(E)-input aggregation —
+    no per-k job, no k x E fan-out join (a thresholds-table join would
+    either BNLJ or replicate the edge table |ks| times). The single agg
+    row is O(1), collected, and expanded to |ks| literal rows."""
+    canon = canonical_undirected(edges).persist()
+    sym = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("deg")
+    )
+    ed = (
+        canon.join(deg.withColumnRenamed("vid", "src"), "src")
+        .withColumnRenamed("deg", "ds")
+        .join(
+            deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "dd"),
+            "dst",
+        )
+        .select(F.least("ds", "dd").alias("min_deg"))
+    )
+    e_aggs = ed.agg(
+        *[
+            F.sum((F.col("min_deg") > k).cast("long")).alias(f"e{k}")
+            for k in ks
+        ]
+    ).first()
+    n_aggs = deg.agg(
+        *[F.sum((F.col("deg") > k).cast("long")).alias(f"n{k}") for k in ks]
+    ).first()
+    canon.unpersist()
+    rows = []
+    for k in ks:
+        nk, ek = int(n_aggs[f"n{k}"] or 0), int(e_aggs[f"e{k}"] or 0)
+        phi = 2.0 * ek / (nk * (nk - 1)) if nk >= 2 else None
+        if phi is not None and round_to is not None:
+            phi = round(phi, round_to)
+        rows.append((k, nk, ek, phi))
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        rows, "k int, n_k bigint, e_k bigint, phi double"
+    )

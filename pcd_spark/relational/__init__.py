@@ -120,6 +120,12 @@ _PRIORITY = [
     "k24_ktruss", "k25_eigenvector", "k27_coreness", "k29_mis",
     "k30_coloring",
     "k32_katz",
+    # round-3 continuation batch (verified by the pytest mirror + preflight
+    # first; window rotation, if any, happens after they are hash-green)
+    "c12_exists_subquery", "c13_not_in_subquery", "c14_scalar_subquery",
+    "h11_posexplode", "h12_sequence_gapfill",
+    "d15_heavy_hitters", "v10_mmr_rerank",
+    "k40_partition_agreement", "k41_rich_club", "k42_weighted_pagerank",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -1273,3 +1273,112 @@ def k39(spark, sf):
         F.lit(nt).cast("long").alias("n_transitive"),
         F.round(F.lit(float(nt) / (nc + nt)), 6).alias("frac_transitive"),
     )
+
+
+@g(
+    "k40_partition_agreement",
+    """WITH c AS (SELECT c_nationkey AS a, c_mktsegment AS b FROM customer),
+        cont AS (SELECT a, b, COUNT(*) AS nij FROM c GROUP BY a, b),
+        am AS (SELECT a, SUM(nij) AS ai FROM cont GROUP BY a),
+        bm AS (SELECT b, SUM(nij) AS bj FROM cont GROUP BY b),
+        tot AS (SELECT CAST(SUM(nij) AS DOUBLE) AS n FROM cont),
+        sij AS (SELECT SUM(nij * (nij - 1) / 2.0) AS s FROM cont),
+        sa AS (SELECT SUM(ai * (ai - 1) / 2.0) AS s FROM am),
+        sb AS (SELECT SUM(bj * (bj - 1) / 2.0) AS s FROM bm),
+        mi AS (SELECT SUM((nij / t.n) * LN(t.n * nij / (1.0 * ai * bj))) AS v
+               FROM cont JOIN am USING (a) JOIN bm USING (b) CROSS JOIN tot t),
+        ha AS (SELECT -SUM((ai / t.n) * LN(ai / t.n)) AS h
+               FROM am CROSS JOIN tot t),
+        hb AS (SELECT -SUM((bj / t.n) * LN(bj / t.n)) AS h
+               FROM bm CROSS JOIN tot t)
+        SELECT CAST(t.n AS BIGINT) AS n_items,
+               ROUND((sij.s - sa.s * sb.s / (t.n * (t.n - 1) / 2.0))
+                     / ((sa.s + sb.s) / 2.0
+                        - sa.s * sb.s / (t.n * (t.n - 1) / 2.0)), 6) AS ari,
+               ROUND(mi.v / SQRT(ha.h * hb.h), 6) AS nmi
+        FROM tot t, sij, sa, sb, mi, ha, hb""",
+)
+def k40(spark, sf):
+    """K40 (round 3): partition-agreement scores (adjusted Rand index +
+    normalized mutual information) between two labelings of the same item
+    set — THE evaluation operator of a community-detection engine (compare
+    LPA vs Louvain, detected vs ground truth, run-over-run drift). Runs
+    here on two independent customer partitions (nation vs market segment,
+    agreement ~ 0 — chance level, which is exactly what ARI's adjustment
+    is for); the same function scores graph labelings in pytest (LPA vs
+    CC ground truth on caveman graphs). Full math + scale shape:
+    pcd_spark.graph.quality.partition_agreement."""
+    from pcd_spark.graph.quality import partition_agreement
+
+    c = load(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("a"), F.col("c_mktsegment").alias("b")
+    )
+    return partition_agreement(c)
+
+
+@g(
+    "k41_rich_club",
+    f"""WITH canon AS ({_PART_EDGES_SQL}),
+        sym AS (SELECT src, dst FROM canon
+                UNION ALL SELECT dst AS src, src AS dst FROM canon),
+        deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
+        ed AS (SELECT LEAST(ds.deg, dd.deg) AS min_deg
+               FROM canon JOIN deg ds ON ds.vid = canon.src
+                          JOIN deg dd ON dd.vid = canon.dst),
+        ks AS (SELECT UNNEST([4, 8, 16, 32]) AS k),
+        ek AS (SELECT k, (SELECT COUNT(*) FROM ed WHERE min_deg > k) AS e_k
+               FROM ks),
+        nk AS (SELECT k, (SELECT COUNT(*) FROM deg WHERE deg > k) AS n_k
+               FROM ks)
+        SELECT ks.k, nk.n_k, ek.e_k,
+               CASE WHEN nk.n_k >= 2
+                    THEN ROUND(2.0 * ek.e_k / (nk.n_k * (nk.n_k - 1)), 6)
+                    ELSE NULL END AS phi
+        FROM ks JOIN ek USING (k) JOIN nk USING (k)""",
+)
+def k41(spark, sf):
+    """K41 (round 3): rich-club coefficient phi(k) at degree thresholds
+    {4,8,16,32} on the part co-occurrence graph — do hubs preferentially
+    interconnect? Full math + scale shape (one conditional-sum agg for ALL
+    thresholds, no per-k jobs): pcd_spark.graph.quality.rich_club."""
+    from pcd_spark.graph.quality import rich_club
+
+    return rich_club(part_cooccurrence_edges(spark, sf))
+
+
+@g("k42_weighted_pagerank", None)  # iterative; numpy-weighted oracle + golden
+def k42(spark, sf):
+    """K42 (round 3): WEIGHTED PageRank top-20 — edge weight = number of
+    orders linking the customer to the supplier (interaction multiplicity),
+    so a customer's rank mass flows proportionally to relationship
+    strength, not uniformly (K3). On a dependency graph the weight is
+    import multiplicity — the form the north-star pipeline actually wants.
+
+    Spark shape: identical superstep plan to K3 (the engine's weight_col
+    just swaps two literals for column references — same joins, same ONE
+    wide shuffle per superstep); the weighted edge table adds one hash agg
+    (pair multiplicity) before symmetrization. Exactness: numpy weighted-
+    PageRank oracle + sf0.01 golden value-hash in pytest."""
+    li, o = load(spark, sf, "lineitem"), load(spark, sf, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("src"),
+            (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()  # one vote per (order, customer, supplier) triple
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    pr = pagerank(sym, tol=1e-8, weight_col="weight")
+    return (
+        pr.select("vid", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("vid"))
+        .limit(20)
+    )

@@ -1351,3 +1351,210 @@ def d14(spark, sf):
         "metric",
         "val",
     )
+
+
+# =========================================================================
+# C12-C14: declarative subquery surface (round 3 continuation)
+#
+# C5/C6 cover semi/anti joins the user spells as joins; these three cover
+# the way most SQL users actually write them — correlated EXISTS, NOT IN,
+# scalar subqueries — and pin that Catalyst's RewritePredicateSubquery /
+# ScalarSubquery machinery plans them as the SAME hash joins (no nested-
+# loop re-execution per row, which is what a naive engine does and what
+# dies first at 100 TB).
+# =========================================================================
+
+@q(
+    "c12_exists_subquery",
+    """SELECT c_custkey, c_mktsegment
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 400000)
+         AND NOT EXISTS (SELECT 1 FROM orders o2
+                         WHERE o2.o_custkey = c.c_custkey
+                           AND o2.o_orderstatus = 'F'
+                           AND o2.o_totalprice < 20000)""",
+)
+def c12(spark, sf):
+    """C12: correlated EXISTS / NOT EXISTS predicates, written declaratively.
+
+    Spark shape: Catalyst's RewritePredicateSubquery turns the EXISTS into a
+    left-SEMI hash join and the NOT EXISTS into a left-ANTI hash join — one
+    pass over orders each, with the correlated filter pushed into the orders
+    scan BEFORE the join (PushedFilters on o_totalprice). Nothing is
+    re-executed per customer row; at 10^9 customers this is two shuffles (or
+    two broadcasts when the filtered order sets are small), not a per-row
+    probe loop."""
+    load(spark, sf, "customer").createOrReplaceTempView("c12_customer")
+    load(spark, sf, "orders").createOrReplaceTempView("c12_orders")
+    return spark.sql(
+        """SELECT c_custkey, c_mktsegment
+           FROM c12_customer c
+           WHERE EXISTS (SELECT 1 FROM c12_orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 400000)
+             AND NOT EXISTS (SELECT 1 FROM c12_orders o2
+                             WHERE o2.o_custkey = c.c_custkey
+                               AND o2.o_orderstatus = 'F'
+                               AND o2.o_totalprice < 20000)"""
+    )
+
+
+@q(
+    "c13_not_in_subquery",
+    """SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+       FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE o_orderpriority = '1-URGENT')""",
+)
+def c13(spark, sf):
+    """C13: NOT IN over a subquery — the null-aware anti join.
+
+    NOT IN is NOT the same operator as NOT EXISTS: under SQL three-valued
+    logic a single NULL in the subquery column empties the whole result, so
+    Catalyst plans a null-AWARE anti join (the join condition carries an
+    ISNULL disjunct; with a broadcastable right side, BroadcastHashJoin
+    LeftAnti with buildSide marked null-aware). This query pins that the
+    engine implements those semantics as ONE hash join — a naive engine
+    degrades NOT IN to a per-row scan of the subquery result.
+
+    Scale note: the subquery side here is a filtered key column (urgent
+    orders), broadcastable even when orders is 100 TB because only the
+    distinct key set crosses; when it is not broadcastable Spark falls back
+    to a single-partition BNLJ — at that point the pipeline should rewrite
+    to NOT EXISTS (c12's anti join), which shuffles instead. The docstring
+    is the documentation of that cliff; the test pins today's plan."""
+    load(spark, sf, "customer").createOrReplaceTempView("c13_customer")
+    load(spark, sf, "orders").createOrReplaceTempView("c13_orders")
+    return spark.sql(
+        """SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+           FROM c13_customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM c13_orders
+                                   WHERE o_orderpriority = '1-URGENT')"""
+    )
+
+
+@q(
+    "c14_scalar_subquery",
+    """SELECT o_orderkey,
+              ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4)
+                AS delta_avg
+       FROM orders
+       WHERE o_totalprice > (SELECT 1.8 * AVG(o_totalprice) FROM orders)""",
+)
+def c14(spark, sf):
+    """C14: scalar subqueries in both the projection and the predicate.
+
+    Spark shape: each uncorrelated scalar subquery runs ONCE as its own
+    tiny job (a map-side-combined global agg), and the scalar is inlined
+    into the main scan's filter/project as a literal at execution time
+    (ScalarSubquery node; with AQE the filter can further prune). The main
+    table is scanned once; the aggregate is never recomputed per row.
+    Subquery REUSE also applies: the two AVG subqueries below share one
+    physical subquery execution (ReusedSubquery), so the oracle's two
+    mentions cost one job."""
+    load(spark, sf, "orders").createOrReplaceTempView("c14_orders")
+    return spark.sql(
+        """SELECT o_orderkey,
+                  ROUND(o_totalprice -
+                        (SELECT AVG(o_totalprice) FROM c14_orders), 4)
+                    AS delta_avg
+           FROM c14_orders
+           WHERE o_totalprice >
+                 (SELECT 1.8 * AVG(o_totalprice) FROM c14_orders)"""
+    )
+
+
+# =========================================================================
+# H11-H12: generator / lateral surface (round 3 continuation)
+# =========================================================================
+
+@q(
+    "h11_posexplode",
+    """SELECT doc_id, r.pos, string_split(text, ' ')[r.pos] AS word
+       FROM documents,
+            UNNEST(generate_series(
+              1, LEAST(5, LEN(string_split(text, ' '))))) AS r(pos)
+       WHERE doc_id < 40""",
+)
+def h11(spark, sf):
+    """H11: positional explode (generator / lateral view) — each document
+    row fans out into (pos, word) rows for its first 5 tokens. The
+    generator operator is the normalization step every nested-data
+    pipeline needs (array-of-struct event payloads, token streams).
+
+    Spark shape: `posexplode` plans a narrow Generate node — fan-out
+    happens inside the scan task, zero shuffle, and the doc_id predicate
+    plus the 2-column projection push into the parquet scan. `slice`
+    bounds the fan-out BEFORE generating (5 rows/doc, not len(text));
+    at 100 TB unbounded explodes are the classic row-amplification
+    accident. posexplode is 0-based; the oracle's generate_series is
+    1-based — aligned with pos + 1."""
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split(F.col("text"), " "), 1, 5)),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.col("col").alias("word"),
+    )
+
+
+@q(
+    "h12_sequence_gapfill",
+    """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS hr, value
+                   FROM events WHERE user_id < 10),
+        span AS (SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi
+                 FROM ev GROUP BY user_id),
+        grid AS (SELECT user_id, g.hr
+                 FROM span,
+                      UNNEST(generate_series(lo, hi, INTERVAL '1 hour'))
+                        AS g(hr)),
+        agg AS (SELECT user_id, hr, COUNT(*) AS n_events,
+                       ROUND(SUM(value), 4) AS sum_value
+                FROM ev GROUP BY user_id, hr)
+        SELECT grid.user_id, grid.hr,
+               COALESCE(agg.n_events, 0) AS n_events,
+               COALESCE(agg.sum_value, 0.0) AS sum_value
+        FROM grid LEFT JOIN agg
+          ON agg.user_id = grid.user_id AND agg.hr = grid.hr""",
+)
+def h12(spark, sf):
+    """H12: time-series resample + gap-fill — a dense per-user hourly grid
+    (F.sequence + explode between each user's min and max hour) left-joined
+    to the hourly aggregate, missing hours filled with zeros. This is the
+    canonical prepare-for-forecasting / rate-alerting shape: downstream
+    window math (lag, moving averages) is only correct on a gapless axis.
+
+    Spark shape: the grid generates from the O(users) span table (narrow
+    Generate, fan-out = hours-per-user), NOT from the event table, so grid
+    size is independent of event volume; the join is an equi hash join on
+    (user_id, hr) — at 10^9 users both sides shuffle on the same key, and
+    the hourly agg is map-side combined. The user_id predicate pushes into
+    the parquet scan on both branches."""
+    ev = (
+        load(spark, sf, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", F.date_trunc("hour", "ts").alias("hr"), "value")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    agg = ev.groupBy("user_id", "hr").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return grid.join(agg, ["user_id", "hr"], "left").select(
+        "user_id",
+        "hr",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )

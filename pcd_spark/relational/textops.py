@@ -1738,3 +1738,203 @@ def v9(spark, sf):
         .filter(F.col("rn") <= 3)
         .select("probe_id", "cand_id", "cosine_sq8")
     )
+
+
+# =========================================================================
+# D15: exact heavy hitters with bounded-memory candidate pruning
+# (round 3 continuation)
+# =========================================================================
+
+_D15_PHI = 0.02  # report words with frequency >= PHI * total tokens
+
+
+def _mg_candidates(local_bar: float, capacity: int):
+    """Partition-local Misra-Gries candidate stage for d15 (factored out so
+    the decrement path and the never-drops-a-hitter guarantee are unit-
+    testable at tiny capacities). Returns a mapInPandas kernel over a
+    single `word` column.
+
+    MG invariant [Misra & Gries 1982]: after n_p items with `capacity`
+    counters, stored(w) >= true(w) - n_p/(capacity+1). A word that can
+    still reach the partition-local bar therefore satisfies
+    stored >= local_bar - n_p/(capacity+1) — the emission test below —
+    so the candidate set is a SUPERSET of every true heavy hitter
+    regardless of skew, order, or partition imbalance."""
+    import pandas as pd
+
+    def kernel(batches):
+        counters: dict = {}
+        n_p = 0
+        for pdf in batches:
+            for w in pdf["word"]:
+                n_p += 1
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < capacity:
+                    counters[w] = 1
+                else:
+                    # MG decrement step: all counters down 1, drop zeros
+                    dead = []
+                    for kw in counters:
+                        counters[kw] -= 1
+                        if counters[kw] == 0:
+                            dead.append(kw)
+                    for kw in dead:
+                        del counters[kw]
+        bar = local_bar - n_p / (capacity + 1)
+        out = [w for w, c in counters.items() if c >= bar]
+        yield pd.DataFrame({"word": out})
+
+    return kernel
+
+
+@qt(
+    "d15_heavy_hitters",
+    f"""WITH tok AS (SELECT UNNEST(string_split_regex(TRIM(text), '\\s+'))
+                       AS word
+                     FROM documents WHERE LENGTH(TRIM(text)) > 0),
+        n AS (SELECT COUNT(*) AS total FROM tok)
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY word
+        HAVING COUNT(*) >= (SELECT CEIL({_D15_PHI} * total) FROM n)""",
+)
+def d15(spark, sf):
+    """D15: exact phi-heavy hitters (words with count >= phi*N) via
+    Misra-Gries candidate pruning + exact recount [PUB: Misra & Gries
+    1982; the MG-merge candidates + rescan construction of Agarwal et al.
+    2012 "Mergeable summaries"].
+
+    Why not just groupBy(word).count()? That shuffles the full vocabulary
+    — at 100 TB the distinct-token domain (typos, hashes, code literals)
+    is billions of keys, almost all of which lose to the HAVING filter
+    AFTER being shuffled. The scale-safe form prunes BEFORE the shuffle:
+
+      pass 1 (no shuffle): each partition runs a bounded Misra-Gries
+        summary (K counters) inside ONE mapInPandas iterator and emits
+        only words whose partition-LOCAL lower-bound count can still reach
+        the global bar: stored >= T/P - n_p/(K+1). Correctness: a word
+        with global count >= T has local count >= T/P in >= 1 partition
+        (pigeonhole), and MG undercounts by at most n_p/(K+1), so every
+        true heavy hitter survives into the candidate set. Candidate
+        volume is <= K per partition regardless of skew or vocabulary.
+      pass 2: exact recount restricted to the candidate set — a broadcast
+        semi join (candidates are <= K*P rows, kilobytes), then ONE
+        map-side-combined hash agg whose shuffle carries only candidate
+        words, then the exact >= T filter. Output counts are EXACT, which
+        is why the DuckDB oracle is the plain GROUP BY / HAVING form.
+
+    The local bar T/P uses the ACTUAL runtime partition count, and the MG
+    deficit term n_p/(K+1) uses the per-partition item count measured in
+    the same pass — both sides of the guarantee are computed, not assumed
+    (partition imbalance lowers the emission bar, never drops a hitter)."""
+    import math
+
+    d = load(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    # token count WITHOUT exploding: scan-side size(split), one tiny agg
+    n_total = int(
+        d.select(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n")
+        ).first()["n"]
+    )
+    t_bar = math.ceil(_D15_PHI * n_total)
+    words = _spread(d.select("text")).select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    )
+    n_parts = max(1, words.rdd.getNumPartitions())
+    # MG capacity 4096 bounds executor memory independent of vocabulary
+    cand = (
+        words.mapInPandas(
+            _mg_candidates(t_bar / n_parts, 4096), "word string"
+        )
+        .distinct()
+    )
+    return (
+        words.join(F.broadcast(cand), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= t_bar)
+    )
+
+
+# =========================================================================
+# V10: MMR diversified re-ranking (round 3 continuation)
+# =========================================================================
+
+@qt("v10_mmr_rerank", None)  # iterative greedy; numpy-pinned in pytest
+def v10(spark, sf):
+    """V10: maximal-marginal-relevance re-ranking of V1's exact top-k
+    [PUB: Carbonell & Goldstein, SIGIR 1998]: from each probe's top-20
+    cosine candidates, greedily select 5 maximizing
+    lambda*sim(probe, c) - (1-lambda)*max_{s in selected} sim(c, s) —
+    the standard redundancy-removal step between retrieval and a training
+    batch / RAG context (near-identical candidates waste the budget).
+
+    Spark shape: candidate generation is V1's broadcast-probes plan
+    (top-20 per probe via the per-probe window); the greedy selection is
+    inherently sequential in k but embarrassingly parallel ACROSS probes,
+    so it runs as ONE applyInPandas over probe_id groups — each group is
+    a 20-row pandas frame (20x20 numpy sims, microseconds); no vector
+    ever returns to the driver. At 10^9 probes this is one shuffle keyed
+    by probe_id of 20-row groups. Not SQL-expressible (the selection is a
+    data-dependent loop) -> rows-only; exactness is pinned by a pure-
+    numpy mirror and a golden hash in pytest. Ties break on cand_id ASC
+    via a 1e-12 epsilon-free two-key sort inside the kernel, determinism
+    is hash-free, and scores are rounded AFTER selection."""
+    import numpy as np
+    import pandas as pd
+
+    lam, topk_in, topk_out = 0.7, 20, 5
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb")
+    )
+    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"))
+    scored = (
+        F.broadcast(probes)
+        .join(cand, F.col("probe_id") != F.col("cand_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            "cemb",
+            _cos(F.col("pemb"), F.col("cemb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= topk_in
+    )
+
+    def mmr_apply(pdf):
+        # deterministic candidate order: relevance DESC, cand_id ASC; the
+        # greedy argmax then breaks score ties toward the lower cand_id
+        pdf = pdf.sort_values(["cosine", "cand_id"], ascending=[False, True])
+        ids = pdf["cand_id"].to_numpy()
+        rel = pdf["cosine"].to_numpy()
+        mat = np.stack(pdf["cemb"].to_numpy())
+        norm = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norm, norm)
+        rows = []
+        chosen: list = []
+        avail = list(range(len(ids)))
+        probe = int(pdf["probe_id"].iloc[0])
+        while avail and len(chosen) < topk_out:
+            if chosen:
+                red = sims[np.ix_(avail, chosen)].max(axis=1)
+            else:
+                red = np.zeros(len(avail))
+            score = lam * rel[avail] - (1.0 - lam) * red
+            best = int(np.argmax(score))  # first max = lowest cand_id on tie
+            pick = avail[best]
+            chosen.append(pick)
+            avail.pop(best)
+            rows.append((probe, len(chosen), int(ids[pick]), round(float(score[best]), 6)))
+        return pd.DataFrame(
+            rows, columns=["probe_id", "rank", "cand_id", "mmr_score"]
+        )
+
+    return top.groupBy("probe_id").applyInPandas(
+        mmr_apply,
+        "probe_id long, rank int, cand_id long, mmr_score double",
+    )

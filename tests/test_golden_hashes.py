@@ -67,6 +67,10 @@ GOLDEN = {
     "k23_betweenness": (50, "36f670b659dad309"),
     "k25_eigenvector": (50, "ce3bb8fc9f608056"),
     "k32_katz": (50, "7eaceab4ce93cfb5"),
+    # round-3 continuation: same two-session (cores=8,sp=16)/(cores=4,sp=8)
+    # stability check before pinning
+    "k42_weighted_pagerank": (20, "c4bf0bf952da57c9"),
+    "v10_mmr_rerank": (25, "5f5913b13915b3f6"),
 }
 
 

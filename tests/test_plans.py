@@ -77,7 +77,25 @@ PLAN_SWEEP = [
     # degree distribution (two hash aggs; the 1-row MLE scalar is collected
     # and attached as a literal — any join form here planned a BNLJ)
     "k36_reciprocity", "k37_degree_distribution",
+    # round-3 continuation: the declarative-subquery surface (c12 EXISTS ->
+    # semi/anti HASH joins, c13 NOT IN -> null-aware anti hash join, c14
+    # scalar subqueries -> one-shot subquery jobs — NONE may degrade to a
+    # per-row BNLJ probe), generators (h11 narrow Generate; h12 grid
+    # generates from the O(users) span side), d15 (MapInPandas candidate
+    # stage + broadcast semi recount; BatchEvalPython stays banned), v10
+    # (FlatMapGroupsInPandas over probe groups; window partitioned by
+    # probe_id so the no-partitionless-Window assertion applies)
+    "c12_exists_subquery", "c13_not_in_subquery", "c14_scalar_subquery",
+    "h11_posexplode", "h12_sequence_gapfill", "d15_heavy_hitters",
 ]
+# v10_mmr_rerank candidate generation IS v1's broadcast-probes scan — it
+# shares v1's sweep exemption and gets the same dedicated BuildLeft
+# assertion (test_v10_mmr_streams_big_side) instead.
+# k40/k41/k42 are absent from the sweep for the k37/k39 reason: their
+# results are O(1)/O(ks)/top-20 literal-or-collected rows — the substance
+# is the internal jobs (contingency hash agg, conditional-sum agg,
+# supersteps), whose plan discipline is pinned by the functions they share
+# with swept queries (k1 degrees, k6 join shape, k3 superstep).
 # x20_boilerplate_grams eagerly localCheckpoints its gram table (a job),
 # so it joins x4/x10/x23 in the excluded-from-sweep set; its no-cartesian
 # property holds by construction (explode + equi-joins only). Same for
@@ -162,6 +180,24 @@ def test_v9_sq8_streams_big_side(spark, sf_dir):
     never builds a hash table."""
     plan = _plan(spark, sf_dir, "v9_sq8_topk")
     assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
+
+
+def test_v10_mmr_streams_big_side(spark, sf_dir):
+    """v10's candidate stage is v1's broadcast-probes scan (same exemption):
+    probes broadcast (BuildLeft), candidates stream; the greedy re-rank is
+    a FlatMapGroupsInPandas over probe groups, never row-at-a-time Python."""
+    plan = _plan(spark, sf_dir, "v10_mmr_rerank")
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_c13_not_in_plans_single_hash_anti_join(spark, sf_dir):
+    """NOT IN must plan as ONE null-aware broadcast hash anti join — a
+    naive engine re-scans the subquery per outer row (the BNLJ form the
+    sweep bans)."""
+    plan = _plan(spark, sf_dir, "c13_not_in_subquery")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
 def test_c11_null_safe_join_is_hash_join(spark, sf_dir):

@@ -1,0 +1,242 @@
+"""Oracles for the round-3 continuation operators (c12-c14, h11-h12, d15,
+k40-k42, v10).
+
+The SQL-oracled entries (c12/c13/c14/h11/h12/d15/k40/k41) are hash-matched
+against DuckDB by the test_relational_parity sweep; this file pins the parts
+SQL cannot see: the Misra-Gries never-drops-a-hitter guarantee at tiny
+capacities, weighted PageRank vs the weighted numpy oracle, rich-club vs
+networkx, partition agreement vs a pure-numpy ARI/NMI mirror, and the MMR
+greedy vs a numpy mirror.
+"""
+
+from __future__ import annotations
+
+import math
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pytest
+
+from pcd_spark.graph import pagerank
+from pcd_spark.graph.quality import partition_agreement, rich_club
+from pcd_spark.oracle import pagerank_numpy
+from pcd_spark.relational.textops import _mg_candidates
+
+
+def edges_df(spark, edges, weights=None):
+    if weights is None:
+        return spark.createDataFrame(
+            [(int(u), int(v)) for u, v in edges], "src long, dst long"
+        )
+    return spark.createDataFrame(
+        [(int(u), int(v), float(w)) for (u, v), w in zip(edges, weights)],
+        "src long, dst long, weight double",
+    )
+
+
+# ---- D15 Misra-Gries candidate stage ----------------------------------------
+
+
+def _run_kernel(words, local_bar, capacity):
+    out = list(_mg_candidates(local_bar, capacity)(
+        iter([pd.DataFrame({"word": words})])
+    ))
+    return set(out[0]["word"])
+
+
+def test_mg_candidates_keep_every_true_heavy_hitter_at_tiny_capacity():
+    """Adversarial stream: 5000 unique words + heavy words, capacity 16 —
+    the decrement path fires constantly, yet every word whose count can
+    reach the bar must survive (the guarantee d15's exactness rests on)."""
+    rng = np.random.RandomState(7)
+    words = [f"u{i}" for i in range(5000)]
+    words += ["heavy_a"] * 900 + ["heavy_b"] * 500 + ["mid"] * 120
+    order = rng.permutation(len(words))
+    stream = [words[i] for i in order]
+    n_p = len(stream)
+    local_bar = 400.0  # true bar: heavy_a and heavy_b qualify, mid doesn't
+    got = _run_kernel(stream, local_bar, capacity=16)
+    assert "heavy_a" in got and "heavy_b" in got
+    # the candidate set is bounded by the capacity, not the vocabulary
+    assert len(got) <= 16
+
+
+def test_mg_candidates_exact_when_capacity_exceeds_vocab():
+    got = _run_kernel(["a"] * 10 + ["b"] * 3 + ["c"], 5.0, capacity=100)
+    assert got == {"a"}
+
+
+# ---- K40 partition agreement -------------------------------------------------
+
+
+def _ari_nmi_numpy(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    n = len(a)
+    ua, ub = np.unique(a), np.unique(b)
+    cont = np.zeros((len(ua), len(ub)))
+    for i, x in enumerate(ua):
+        for j, y in enumerate(ub):
+            cont[i, j] = np.sum((a == x) & (b == y))
+    ai, bj = cont.sum(1), cont.sum(0)
+    c2 = lambda x: (x * (x - 1) / 2.0).sum()  # noqa: E731
+    sij, sa, sb = c2(cont), c2(ai), c2(bj)
+    npairs = n * (n - 1) / 2.0
+    exp = sa * sb / npairs
+    den = (sa + sb) / 2.0 - exp
+    ari = (sij - exp) / den if den else 1.0
+    nz = cont > 0
+    mi = (cont[nz] / n * np.log(n * cont[nz]
+          / np.outer(ai, bj)[nz])).sum()
+    ha = -(ai / n * np.log(ai / n)).sum()
+    hb = -(bj / n * np.log(bj / n)).sum()
+    nmi = mi / math.sqrt(ha * hb) if ha > 0 and hb > 0 else 1.0
+    return ari, nmi
+
+
+def test_partition_agreement_identity_is_one(spark):
+    pairs = spark.createDataFrame(
+        [(i % 7, i % 7) for i in range(100)], "a int, b int"
+    )
+    row = partition_agreement(pairs).first()
+    assert row["n_items"] == 100
+    assert row["ari"] == pytest.approx(1.0)
+    assert row["nmi"] == pytest.approx(1.0)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_partition_agreement_matches_numpy_mirror(spark, seed):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 6, 400)
+    b = (a + (rng.rand(400) < 0.3) * rng.randint(1, 6, 400)) % 6  # correlated
+    pairs = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], "a int, b int"
+    )
+    row = partition_agreement(pairs, round_to=None).first()
+    ari, nmi = _ari_nmi_numpy(a, b)
+    assert row["ari"] == pytest.approx(ari, abs=1e-9)
+    assert row["nmi"] == pytest.approx(nmi, abs=1e-9)
+    # correlated labelings must land strictly between chance and identity
+    assert 0.05 < row["ari"] < 1.0
+
+
+def test_partition_agreement_scores_lpa_against_ground_truth(spark, graphs):
+    """The operator's actual use: score a community detection against the
+    known partition. Two disjoint cliques: LPA labels vs the true side."""
+    from pcd_spark.graph import label_propagation
+
+    g = graphs["two_cliques_split"]
+    labels = label_propagation(edges_df(spark, g["edges"]), max_iter=10)
+    truth = spark.createDataFrame(
+        [(i, i // 10) for i in range(g["n"])], "vid long, truth int"
+    )
+    pairs = labels.join(truth, "vid").select(
+        labels["label"].alias("a"), truth["truth"].alias("b")
+    )
+    row = partition_agreement(pairs).first()
+    assert row["ari"] == pytest.approx(1.0)
+    assert row["nmi"] == pytest.approx(1.0)
+
+
+# ---- K41 rich club -----------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["ba_1000", "er_200", "karate"])
+def test_rich_club_matches_networkx(spark, graphs, name):
+    g = graphs[name]
+    G = nx.Graph(g["edges"])
+    want = nx.rich_club_coefficient(G, normalized=False)
+    ks = (2, 4, 8, 16)
+    got = {
+        r["k"]: r
+        for r in rich_club(
+            edges_df(spark, g["edges"]), ks=ks, round_to=None
+        ).collect()
+    }
+    for k in ks:
+        if k in want:
+            assert got[k]["phi"] == pytest.approx(want[k], abs=1e-12), (
+                name, k,
+            )
+        else:  # fewer than 2 vertices above k: nx omits, we emit NULL
+            assert got[k]["phi"] is None or got[k]["n_k"] < 2
+
+
+# ---- K42 weighted PageRank ----------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["er_200", "directed_toy"])
+def test_weighted_pagerank_matches_numpy_oracle(spark, graphs, name):
+    g = graphs[name]
+    edges = g["edges"]
+    if not g["directed"]:
+        edges = edges + [(v, u) for u, v in edges]
+    # deterministic integer weights 1..5
+    w = [(u * 7 + v * 13) % 5 + 1 for u, v in edges]
+    df = edges_df(spark, edges, weights=w)
+    got = {
+        r["vid"]: r["rank"]
+        for r in pagerank(df, tol=1e-10, weight_col="weight").collect()
+    }
+    want = pagerank_numpy(
+        g["n"], np.array(edges), tol=1e-14, weights=np.array(w, dtype=float)
+    )
+    assert len(got) == g["n"]
+    for vid, rank in got.items():
+        assert rank == pytest.approx(want[vid], abs=1e-8), vid
+    # weights must actually matter: unweighted ranks differ
+    unw = pagerank_numpy(g["n"], np.array(edges), tol=1e-14)
+    assert not np.allclose(want, unw)
+
+
+# ---- V10 MMR re-ranking ---------------------------------------------------------
+
+
+def test_mmr_rerank_matches_numpy_mirror(spark, sf_dir):
+    from pcd_spark.relational import REGISTRY
+
+    got = (
+        REGISTRY["v10_mmr_rerank"]["spark"](spark, sf_dir)
+        .orderBy("probe_id", "rank")
+        .collect()
+    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), dtype=np.float64)
+            for r in emb.itertuples()}
+    lam, topk_in, topk_out = 0.7, 20, 5
+
+    def cos(x, y):
+        return float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+
+    want = []
+    for probe in sorted(v for v in vecs if v < 5):
+        p = vecs[probe]
+        scored = sorted(
+            ((cos(p, vecs[c]), -c) for c in vecs if c != probe),
+            reverse=True,
+        )[:topk_in]
+        cand = [(-negc, s) for s, negc in scored]
+        ids = [c for c, _ in cand]
+        rel = np.array([s for _, s in cand])
+        mat = np.stack([vecs[c] for c in ids])
+        norm = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norm, norm)
+        chosen, avail = [], list(range(len(ids)))
+        while avail and len(chosen) < topk_out:
+            red = (
+                sims[np.ix_(avail, chosen)].max(axis=1)
+                if chosen
+                else np.zeros(len(avail))
+            )
+            score = lam * rel[avail] - (1 - lam) * red
+            best = int(np.argmax(score))
+            pick = avail.pop(best)
+            chosen.append(pick)
+            want.append(
+                (probe, len(chosen), ids[pick], round(float(score[best]), 6))
+            )
+
+    assert len(got) == len(want)
+    for r, (probe, rank, cid, score) in zip(got, want):
+        assert (r["probe_id"], r["rank"], r["cand_id"]) == (probe, rank, cid)
+        assert r["mmr_score"] == pytest.approx(score, abs=1e-6)
