@@ -79,6 +79,18 @@ BENCH_QUERIES = [
     "k38_scan_similarity",
     "k39_triad_motifs",
     "g5_bag_set_ops",
+    # round-3 continuation batch. k42_weighted_pagerank is deliberately NOT
+    # here: the bipartite customer-supplier graph needs ~117 power
+    # iterations at tol=1e-8 (rate bound ln(1e-8)/ln(0.85) ~ 113 — damping-
+    # limited, not a plan defect), so it's a 1-2 min query whose throughput
+    # story the graph suite below already measures directly.
+    "c12_exists_subquery",
+    "c13_not_in_subquery",
+    "d15_heavy_hitters",
+    "h12_sequence_gapfill",
+    "k40_partition_agreement",
+    "k41_rich_club",
+    "v10_mmr_rerank",
 ]
 
 

@@ -1325,7 +1325,7 @@ def k40(spark, sf):
         ed AS (SELECT LEAST(ds.deg, dd.deg) AS min_deg
                FROM canon JOIN deg ds ON ds.vid = canon.src
                           JOIN deg dd ON dd.vid = canon.dst),
-        ks AS (SELECT UNNEST([4, 8, 16, 32]) AS k),
+        ks AS (SELECT UNNEST([48, 80, 112, 144]) AS k),
         ek AS (SELECT k, (SELECT COUNT(*) FROM ed WHERE min_deg > k) AS e_k
                FROM ks),
         nk AS (SELECT k, (SELECT COUNT(*) FROM deg WHERE deg > k) AS n_k
@@ -1338,12 +1338,16 @@ def k40(spark, sf):
 )
 def k41(spark, sf):
     """K41 (round 3): rich-club coefficient phi(k) at degree thresholds
-    {4,8,16,32} on the part co-occurrence graph — do hubs preferentially
+    {48,80,112,144} (chosen to straddle the co-occurrence graph's degree
+    range, min ~40 / max ~220 across scale factors, so the four rows
+    genuinely split; a threshold above max degree exercises the n_k < 2
+    -> NULL path identically on both engines) on the part co-occurrence
+    graph — do hubs preferentially
     interconnect? Full math + scale shape (one conditional-sum agg for ALL
     thresholds, no per-k jobs): pcd_spark.graph.quality.rich_club."""
     from pcd_spark.graph.quality import rich_club
 
-    return rich_club(part_cooccurrence_edges(spark, sf))
+    return rich_club(part_cooccurrence_edges(spark, sf), ks=(48, 80, 112, 144))
 
 
 @g("k42_weighted_pagerank", None)  # iterative; numpy-weighted oracle + golden
