@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "k40_partition_agreement",
     "k41_rich_club",
     "v10_mmr_rerank",
+    "x24_shared_spans",
+    "v11_ann_recall",
 ]
 
 

@@ -1938,3 +1938,240 @@ def v10(spark, sf):
         mmr_apply,
         "probe_id long, rank int, cand_id long, mmr_score double",
     )
+
+
+# =========================================================================
+# X24: overlapping-shingle shared spans (round 3 continuation)
+# =========================================================================
+
+_X24_W = 8  # shingle width, matching x16's chunk width for direct contrast
+
+
+@qt(
+    "x24_shared_spans",
+    f"""WITH d AS (SELECT doc_id, string_split(TRIM(text), ' ') AS arr
+                   FROM documents WHERE LENGTH(TRIM(text)) > 0),
+        win AS (SELECT doc_id, i AS pos,
+                       md5(array_to_string(
+                         list_slice(arr, i, i + {_X24_W} - 1), ' ')) AS g
+                FROM d, UNNEST(generate_series(1, len(arr) - {_X24_W} + 1))
+                     AS r(i)),
+        f AS (SELECT g FROM win GROUP BY g
+              HAVING COUNT(DISTINCT doc_id) > 1),
+        marked AS (SELECT w.doc_id, w.pos,
+                          CASE WHEN f.g IS NULL THEN 0 ELSE 1 END AS sh
+                   FROM win w LEFT JOIN f ON f.g = w.g),
+        runs AS (SELECT doc_id, sh,
+                        pos - ROW_NUMBER() OVER (PARTITION BY doc_id, sh
+                                                 ORDER BY pos) AS grp
+                 FROM marked),
+        runlen AS (SELECT doc_id, COUNT(*) AS rl FROM runs
+                   WHERE sh = 1 GROUP BY doc_id, grp),
+        mx AS (SELECT doc_id, MAX(rl) AS max_run FROM runlen GROUP BY doc_id),
+        agg AS (SELECT doc_id, COUNT(*) AS n_windows, SUM(sh) AS n_shared
+                FROM marked GROUP BY doc_id)
+        SELECT agg.doc_id,
+               CAST(agg.n_windows AS BIGINT) AS n_windows,
+               CAST(agg.n_shared AS BIGINT) AS n_shared,
+               ROUND(1.0 * agg.n_shared / agg.n_windows, 6) AS shared_frac,
+               CAST(COALESCE(mx.max_run, 0) AS BIGINT) AS max_run
+        FROM agg LEFT JOIN mx USING (doc_id)""",
+)
+def x24(spark, sf):
+    """X24: cross-document shared-SPAN detection over OVERLAPPING 8-word
+    shingles — per doc: how many of its sliding windows also appear in
+    another document, and the longest consecutive run of such windows (the
+    "longest duplicated span" signal). This is the exact-substring dedup
+    criterion of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") at shingle granularity: x16's DISJOINT chunks
+    measure how much of a doc is duplicated; the overlapping form also
+    finds WHERE, and a max_run of r windows certifies a verbatim shared
+    substring of r + W - 1 tokens — the thing one actually cuts.
+
+    Spark shape: shingle hashes are generated SCAN-SIDE (one narrow
+    transform over sequence + posexplode — text never shuffles; only
+    (md5, doc_id, pos) rows do). The corpus-wide frequency is one hash agg
+    keyed by the 16-byte digest; overlapping windows make this O(tokens)
+    shuffle rows vs x16's O(tokens/W) — that 8x is the price of span
+    localization and is the documented reason BOTH ops exist (x16 as the
+    cheap filter, x24 on the suspects). The run-length step is the E7
+    gaps-and-islands form: all three windows partition by doc_id, reusing
+    ONE doc-keyed Exchange, never a partition-less window."""
+    d = load(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    arr = F.split(F.trim("text"), " ")
+    w = _X24_W
+    d = d.select("doc_id", arr.alias("arr")).filter(F.size("arr") >= w)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("arr") - (w - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("arr", i, w))),
+    )
+    win = d.select("doc_id", F.posexplode(grams).alias("pos0", "g")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "g"
+    )
+    shared = (
+        win.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    marked = win.join(shared.withColumn("sh1", F.lit(1)), "g", "left").select(
+        "doc_id", "pos", F.coalesce("sh1", F.lit(0)).alias("sh")
+    )
+    wrun = Window.partitionBy("doc_id", "sh").orderBy("pos")
+    runs = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wrun)
+    )
+    runlen = (
+        runs.filter(F.col("sh") == 1)
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("rl"))
+    )
+    mx = runlen.groupBy("doc_id").agg(F.max("rl").alias("max_run"))
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"), F.sum("sh").alias("n_shared")
+    )
+    return agg.join(mx, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round(F.col("n_shared") / F.col("n_windows"), 6).alias(
+            "shared_frac"
+        ),
+        F.coalesce("max_run", F.lit(0)).cast("long").alias("max_run"),
+    )
+
+
+# =========================================================================
+# V11: ANN recall evaluation (round 3 continuation)
+# =========================================================================
+
+_V11_K = 10
+
+
+@qt(
+    "v11_ann_recall",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
+                 ORDER BY vec_id LIMIT {_IVF_CELLS}),
+        asg AS (
+          SELECT vec_id, emb, cid FROM (
+            SELECT e.vec_id, e.emb, c.cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_dot_product(e.emb, c.cemb)
+                           / (SQRT(list_dot_product(e.emb, e.emb))
+                              * SQRT(list_dot_product(c.cemb, c.cemb))), 6)
+                       DESC, c.cid ASC) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        probes AS (SELECT vec_id AS probe_id, emb AS pemb, cid FROM asg
+                   WHERE vec_id < 5),
+        exact AS (
+          SELECT probe_id, cand_id FROM (
+            SELECT p.probe_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                     ORDER BY ROUND(list_dot_product(p.pemb, c.emb)
+                           / (SQRT(list_dot_product(p.pemb, p.pemb))
+                              * SQRT(list_dot_product(c.emb, c.emb))), 6)
+                       DESC, c.vec_id ASC) AS rn
+            FROM probes p JOIN e c ON p.probe_id <> c.vec_id)
+          WHERE rn <= {_V11_K}),
+        approx AS (
+          SELECT probe_id, cand_id FROM (
+            SELECT p.probe_id, a.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                     ORDER BY ROUND(list_dot_product(p.pemb, a.emb)
+                           / (SQRT(list_dot_product(p.pemb, p.pemb))
+                              * SQRT(list_dot_product(a.emb, a.emb))), 6)
+                       DESC, a.vec_id ASC) AS rn
+            FROM probes p JOIN asg a ON p.cid = a.cid
+                                    AND p.probe_id <> a.vec_id)
+          WHERE rn <= {_V11_K})
+        SELECT x.probe_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(COUNT(a.cand_id) AS BIGINT) AS n_hit,
+               ROUND(COUNT(a.cand_id) * 1.0 / COUNT(*), 4) AS recall
+        FROM exact x LEFT JOIN approx a
+          ON a.probe_id = x.probe_id AND a.cand_id = x.cand_id
+        GROUP BY x.probe_id""",
+)
+def v11(spark, sf):
+    """V11: ANN recall@k evaluation — per probe, the fraction of V1's
+    EXACT top-10 that V4's IVF (nprobe=1) candidate search returns. The
+    operator every vector-search deployment runs before trusting an index
+    [PUB: Jegou et al. 2011 report exactly this curve]: recall quantifies
+    the IVF pruning loss, and tracking it per probe (not just the mean)
+    exposes the cell-boundary probes that motivate nprobe > 1.
+
+    Spark shape: both retrieval arms reuse their operators' own plans (v1
+    broadcast-probes exact scan; v4 broadcast-centroid assignment +
+    cell-keyed equi-join), then ONE left join on (probe_id, cand_id) and
+    ONE hash agg. Rank keys are the 6-dp ROUNDED cosines with cand_id
+    tiebreak on BOTH engines (v4's proven discipline), so the top-k SETS
+    are cross-engine identical and recall is fully SQL-oracle-checkable —
+    which is the point: the evaluation op must itself be exact."""
+    k = _V11_K
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = e.orderBy("vec_id").limit(_IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(_cos(F.col("emb"), F.col("cemb")), 6)), F.asc("cid")
+    )
+    asg = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cid")
+    )
+    probes = asg.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb"), "cid"
+    )
+    wk = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    exact = (
+        F.broadcast(probes.drop("cid"))
+        .join(
+            e.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb2")),
+            F.col("probe_id") != F.col("cand_id"),
+        )
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(_cos(F.col("pemb"), F.col("cemb2")), 6).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "cand_id")
+    )
+    approx = (
+        F.broadcast(probes)
+        .join(asg, "cid")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(_cos(F.col("pemb"), F.col("emb")), 6).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", F.col("cand_id").alias("a_cand"))
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.probe_id == approx.probe_id)
+            & (exact.cand_id == approx.a_cand),
+            "left",
+        )
+        .select(exact.probe_id.alias("probe_id"), "cand_id", "a_cand")
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("a_cand").cast("long").alias("n_hit"),
+            F.round(F.count("a_cand") / F.count("*"), 4).alias("recall"),
+        )
+    )

@@ -299,3 +299,28 @@ def write_partitioned(
         .partitionBy(*cols)
         .parquet(path)
     )
+
+
+def read_evolved(spark, path: str) -> DataFrame:
+    """A10: schema-evolution parquet read — one logical table whose parquet
+    files were written under DIFFERENT schema versions (a corpus that
+    gained columns over time: new quality scores, new provenance fields).
+
+    `mergeSchema` makes the scan reconcile footers into the UNION schema;
+    rows from files predating a column read it as NULL — the read-side
+    complement of G4's `unionByName(allowMissingColumns=True)` (which
+    handles the same drift when the snapshots are separate frames) and of
+    A9's partitioned layout (where each backfill batch may carry the newer
+    schema).
+
+    Scale note: plain reads take the schema from ONE random footer (cheap,
+    but silently DROPS newer columns when it samples an old file — the
+    production incident this operator exists to prevent); mergeSchema
+    instead reconciles footers in a parallel job at read-planning time.
+    Footers only — never data — but on 10^6+ files it is a real planning
+    cost, so production tables should pin the contract schema explicitly
+    (`spark.read.schema(s)`, which also null-fills missing columns and is
+    O(0) planning) and keep mergeSchema for exploration; both forms are
+    exercised in tests/test_storage_bucketed.py.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

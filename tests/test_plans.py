@@ -87,10 +87,16 @@ PLAN_SWEEP = [
     # probe_id so the no-partitionless-Window assertion applies)
     "c12_exists_subquery", "c13_not_in_subquery", "c14_scalar_subquery",
     "h11_posexplode", "h12_sequence_gapfill", "d15_heavy_hitters",
+    # x24 shared spans: shingle explode + digest hash agg + doc-keyed
+    # windows — no cross join anywhere, and both Window nodes partition
+    "x24_shared_spans",
 ]
 # v10_mmr_rerank candidate generation IS v1's broadcast-probes scan — it
 # shares v1's sweep exemption and gets the same dedicated BuildLeft
-# assertion (test_v10_mmr_streams_big_side) instead.
+# assertion (test_v10_mmr_streams_big_side) instead. v11_ann_recall
+# composes v1's exact arm (broadcast probes) with v4's centroid
+# assignment (broadcast-centroid cross join) — both intentional broadcast
+# forms, pinned in test_v11_recall_broadcasts_small_sides.
 # k40/k41/k42 are absent from the sweep for the k37/k39 reason: their
 # results are O(1)/O(ks)/top-20 literal-or-collected rows — the substance
 # is the internal jobs (contingency hash agg, conditional-sum agg,
@@ -190,6 +196,20 @@ def test_v10_mmr_streams_big_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_v11_recall_broadcasts_small_sides(spark, sf_dir):
+    """v11's two intentional nested-loop joins must both be broadcast
+    forms of TINY sides: v4's centroid assignment (8-row centroid table,
+    BuildRight against the streaming vector scan) and v1's exact arm
+    (5-probe set, BuildLeft against the streaming candidates). No other
+    join may degrade: the cell-candidate join and the recall join are
+    equi hash joins."""
+    plan = _plan(spark, sf_dir, "v11_ann_recall")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
+    # the recall intersection itself must be a hash join on the pair key
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
 def test_c13_not_in_plans_single_hash_anti_join(spark, sf_dir):

@@ -144,3 +144,36 @@ def test_partition_filter_reaches_scan(spark, tmp_path):
         "PartitionFilters", 1
     )[1].split("]", 1)[0], plan
     assert rd.count() == 5
+
+
+def test_read_evolved_merges_schema_versions(spark, tmp_path):
+    """A10: files written under an older schema must surface the union
+    schema with NULLs for the missing column — and the plain (sampled-
+    footer) read must NOT be relied on for this (it may or may not see
+    the new column depending on which footer it samples)."""
+    from pcd_spark.storage import read_evolved
+
+    path = str(tmp_path / "evolved")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    )
+    v1.write.parquet(path + "/batch=1")
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.9), (4, "d", 0.1)],
+        "id long, payload string, quality double",
+    )
+    v2.write.parquet(path + "/batch=2")
+
+    df = read_evolved(spark, path)
+    assert sorted(df.columns) == ["batch", "id", "payload", "quality"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 4
+    assert rows[1]["quality"] is None and rows[2]["quality"] is None
+    assert rows[3]["quality"] == 0.9 and rows[4]["quality"] == 0.1
+
+    # the explicit-contract form: pinned schema, zero footer reconciliation
+    pinned = (
+        spark.read.schema("id long, payload string, quality double")
+        .parquet(path + "/batch=1", path + "/batch=2")
+    )
+    assert pinned.filter(F.col("quality").isNull()).count() == 2
