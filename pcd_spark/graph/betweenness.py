@@ -53,10 +53,17 @@ def betweenness_centrality(
     sample_salt: int = 0xBC,
     stats_out: dict | None = None,
     exact_vertex_limit: int = 20_000,
+    mode: str = "vertex",
 ) -> DataFrame:
     """Returns DataFrame(vid: long, betweenness: double) — exact Brandes
     pair-dependency sums over the given `sources` (every vertex with an
     edge when sources is None and n_samples is None).
+
+    mode="edge" (K43) returns DataFrame(u, v, betweenness) instead: the
+    per-EDGE dependency sums (Brandes 2008 edge variant) over the same
+    sources — the scores Girvan-Newman community detection peels and the
+    weak-tie signal of link analysis. Same two BFS phases; the edge scores
+    fall out of the final state with two extra equi joins (see below).
 
     n_samples: deterministic hash-sample of that many sources
     (xxhash64-ordered — no rand(), reproducible at any parallelism).
@@ -76,6 +83,8 @@ def betweenness_centrality(
       silently corrupted sums (not an approximation) — refused, and
       stats_out['converged'] records the check.
     """
+    if mode not in ("vertex", "edge"):
+        raise ValueError(f"betweenness: unknown mode {mode!r}")
     edges = edges.persist()
     p = num_parts or adaptive_num_parts(edges)
 
@@ -256,11 +265,57 @@ def betweenness_centrality(
     else:
         bstate = binit
 
-    out = (
-        bstate.filter(F.col("vid") != F.col("s"))
-        .groupBy("vid")
-        .agg(F.sum("delta").alias("betweenness"))
-    )
+    if mode == "edge":
+        # K43: Brandes' edge form [PUB: Brandes 2008 "On variants of
+        # shortest-path betweenness"]: a DAG edge (u,v) (dist_v = dist_u+1
+        # from source s) carries dependency sigma_u * (1+delta_v)/sigma_v —
+        # exactly the per-edge term the vertex backward sweep SUMS into u.
+        # The final state already holds (dist, sigma, delta) per (s, vid),
+        # so the edge scores are two equi hash joins of the directed edge
+        # table against it (src-keyed and (s,dst)-keyed — the same |S|xE
+        # row class as ONE forward superstep) + one hash agg. For the
+        # undirected case each DAG direction occurs under different
+        # sources; grouping on the canonical unordered pair folds them.
+        su = bstate.select(
+            "s",
+            F.col("vid").alias("src"),
+            F.col("dist").alias("d_src"),
+            F.col("sigma").alias("sig_src"),
+        )
+        sv = bstate.select(
+            "s",
+            F.col("vid").alias("dst"),
+            F.col("dist").alias("d_dst"),
+            F.col("sigma").alias("sig_dst"),
+            F.col("delta").alias("delta_dst"),
+        )
+        pair = (
+            [F.least("src", "dst").alias("u"),
+             F.greatest("src", "dst").alias("v")]
+            if not directed
+            else [F.col("src").alias("u"), F.col("dst").alias("v")]
+        )
+        out = (
+            e.join(su.hint("shuffle_hash"), "src")
+            .join(sv.hint("shuffle_hash"), ["s", "dst"])
+            .filter(F.col("d_dst") == F.col("d_src") + 1)
+            .select(
+                *pair,
+                (
+                    F.col("sig_src")
+                    * (F.lit(1.0) + F.col("delta_dst"))
+                    / F.col("sig_dst")
+                ).alias("dep"),
+            )
+            .groupBy("u", "v")
+            .agg(F.sum("dep").alias("betweenness"))
+        )
+    else:
+        out = (
+            bstate.filter(F.col("vid") != F.col("s"))
+            .groupBy("vid")
+            .agg(F.sum("delta").alias("betweenness"))
+        )
     if stats_out is not None:
         stats_out["sources"] = src_list
         stats_out["levels"] = lmax

@@ -126,7 +126,7 @@ _PRIORITY = [
     "h11_posexplode", "h12_sequence_gapfill",
     "d15_heavy_hitters", "v10_mmr_rerank",
     "k40_partition_agreement", "k41_rich_club", "k42_weighted_pagerank",
-    "x24_shared_spans", "v11_ann_recall",
+    "x24_shared_spans", "v11_ann_recall", "k43_edge_betweenness",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -1386,3 +1386,28 @@ def k42(spark, sf):
         .orderBy(F.desc("rank"), F.asc("vid"))
         .limit(20)
     )
+
+
+@g("k43_edge_betweenness", None)  # iterative 2-phase Brandes; nx-pinned
+def k43(spark, sf):
+    """K43 (round 3): sampled-source EDGE betweenness on the bounded
+    customer-supplier graph (k23's cohort) — the per-edge dependency sums
+    Girvan-Newman community detection peels and the weak-tie/bridge signal
+    of link analysis [PUB: Girvan & Newman 2002; Brandes 2008]. Same
+    machinery as K23 (mode="edge"): the two BFS phases are shared, the
+    edge scores fall out of the final state via two equi hash joins (the
+    |S|xE cost class of one forward superstep). Exactness pinned vs
+    nx.edge_betweenness_centrality in tests/test_round3_ops.py; the
+    deterministic hash-sampled sources make the rows-only driver check
+    stable, and the sf0.01 golden value-hash is pinned in
+    tests/test_golden_hashes.py."""
+    from pcd_spark.graph import betweenness_centrality
+
+    e = cust_supp_edges(spark, sf).filter(F.col("src") < 300)
+    return (
+        betweenness_centrality(e, n_samples=8, mode="edge")
+        .select("u", "v", F.round("betweenness", 6).alias("betweenness"))
+        .filter(F.col("betweenness") > 0)
+        .orderBy(F.desc("betweenness"), F.asc("u"), F.asc("v"))
+        .limit(50)
+    )

@@ -240,3 +240,112 @@ def test_mmr_rerank_matches_numpy_mirror(spark, sf_dir):
     for r, (probe, rank, cid, score) in zip(got, want):
         assert (r["probe_id"], r["rank"], r["cand_id"]) == (probe, rank, cid)
         assert r["mmr_score"] == pytest.approx(score, abs=1e-6)
+
+
+# ---- D15 partition invariance --------------------------------------------------
+
+
+def test_d15_exact_output_is_partition_invariant(spark, sf_dir):
+    """The MG candidate SET legitimately varies with partitioning (each
+    partition prunes against its own local bar); the exact recount must
+    erase that — identical final rows at 1 partition and at 13."""
+    from pcd_spark.relational import REGISTRY
+    from pcd_spark.relational import textops
+
+    base = sorted(
+        map(tuple, REGISTRY["d15_heavy_hitters"]["spark"](spark, sf_dir).collect())
+    )
+    # force pathological partitionings through the same public query by
+    # widening/narrowing the session default parallelism is not possible
+    # per-call, so replay the pipeline body at two explicit widths
+    import math
+
+    from pyspark.sql import functions as F
+
+    d = textops.load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    n_total = int(
+        d.select(F.sum(F.size(F.split(F.trim("text"), r"\s+")))).first()[0]
+    )
+    t_bar = math.ceil(textops._D15_PHI * n_total)
+    for parts in (1, 13):
+        words = d.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+        ).repartition(parts)
+        cand = words.mapInPandas(
+            textops._mg_candidates(t_bar / parts, 64), "word string"
+        ).distinct()
+        got = sorted(
+            map(
+                tuple,
+                words.join(F.broadcast(cand), "word", "left_semi")
+                .groupBy("word")
+                .agg(F.count("*").cast("long").alias("cnt"))
+                .filter(F.col("cnt") >= t_bar)
+                .collect(),
+            )
+        )
+        assert got == base, f"parts={parts}"
+
+
+# ---- K43 edge betweenness -------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["karate", "two_cliques", "cycle_9"])
+def test_edge_betweenness_matches_networkx(spark, graphs, name):
+    """Full-source edge sums must be exactly 2x networkx (undirected
+    (s,t)/(t,s) both counted, same convention as the vertex K23 test)."""
+    from pcd_spark.graph import betweenness_centrality
+
+    g = graphs[name]
+    got = {
+        (r["u"], r["v"]): r["betweenness"]
+        for r in betweenness_centrality(
+            edges_df(spark, g["edges"]), mode="edge"
+        ).collect()
+    }
+    G = nx.Graph(g["edges"])
+    want = nx.edge_betweenness_centrality(G, normalized=False)
+    assert len(got) == len(want)
+    for (u, v), w in want.items():
+        key = (min(u, v), max(u, v))
+        assert got[key] == pytest.approx(2.0 * w, abs=1e-9), (name, key)
+
+
+def test_edge_betweenness_directed_matches_networkx(spark, graphs):
+    from pcd_spark.graph import betweenness_centrality
+
+    g = graphs["directed_toy"]
+    got = {
+        (r["u"], r["v"]): r["betweenness"]
+        for r in betweenness_centrality(
+            edges_df(spark, g["edges"]), directed=True, mode="edge"
+        ).collect()
+    }
+    G = nx.DiGraph(g["edges"])
+    want = nx.edge_betweenness_centrality(G, normalized=False)
+    for (u, v), w in want.items():
+        assert got.get((u, v), 0.0) == pytest.approx(w, abs=1e-9), (u, v)
+
+
+def test_edge_betweenness_girvan_newman_peel(spark, graphs):
+    """The operator's actual use: the top edge on two bridged cliques must
+    be the bridge (the Girvan-Newman first peel)."""
+    from pcd_spark.graph import betweenness_centrality
+
+    g = graphs["two_cliques"]
+    rows = betweenness_centrality(
+        edges_df(spark, g["edges"]), mode="edge"
+    ).collect()
+    top = max(rows, key=lambda r: r["betweenness"])
+    assert (top["u"], top["v"]) == (9, 10)
+
+
+def test_betweenness_rejects_unknown_mode(spark, graphs):
+    from pcd_spark.graph import betweenness_centrality
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        betweenness_centrality(
+            edges_df(spark, graphs["cycle_9"]["edges"]), mode="edgy"
+        )
