@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     # story the graph suite below already measures directly.
     "c12_exists_subquery",
     "c13_not_in_subquery",
+    "c14_scalar_subquery",
+    "h11_posexplode",
     "d15_heavy_hitters",
     "h12_sequence_gapfill",
     "k40_partition_agreement",

@@ -309,6 +309,12 @@ def betweenness_centrality(
             )
             .groupBy("u", "v")
             .agg(F.sum("dep").alias("betweenness"))
+            # materialize BEFORE the unpersists below: unlike vertex mode
+            # (whose result hangs off the checkpointed bstate only), this
+            # plan references the persisted `e` — returning it lazily
+            # would re-derive the whole upstream edge table at collection
+            # time (the bipartite_projection lesson, ADVICE r2)
+            .localCheckpoint()
         )
     else:
         out = (

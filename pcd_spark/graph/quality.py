@@ -298,11 +298,23 @@ def partition_agreement(
     bm = cont.groupBy("_b").agg(F.sum("nij").alias("bj"))
 
     def _pairs2(c):
-        return F.sum(c * (c - F.lit(1)) / F.lit(2.0))
+        # cast BEFORE the multiply: c*(c-1) in int64 wraps silently past
+        # ~3.04e9 items per cell/margin — double trades exactness above
+        # 2^53 for never-overflows, and the 6-dp rounding absorbs the
+        # relative 1e-16 (the DuckDB oracle promotes via its /2.0 too)
+        d = c.cast("double")
+        return F.sum(d * (d - F.lit(1.0)) / F.lit(2.0))
 
     s_ij = cont.agg(
         _pairs2(F.col("nij")).alias("s"), F.sum("nij").alias("n")
     ).first()
+    if s_ij["n"] is None or int(s_ij["n"]) < 2:
+        cont.unpersist()
+        raise ValueError(
+            "partition_agreement: need >= 2 labeled items "
+            f"(got {0 if s_ij['n'] is None else int(s_ij['n'])}) — "
+            "an empty/degenerate join upstream?"
+        )
     n = float(s_ij["n"])
     sij = float(s_ij["s"])
     sa = float(am.agg(_pairs2(F.col("ai")).alias("s")).first()["s"])
@@ -332,13 +344,19 @@ def partition_agreement(
     denom = (sa + sb) / 2.0 - expected
     ari = (sij - expected) / denom if denom != 0.0 else 1.0
     nmi = mi / (ha * hb) ** 0.5 if ha > 0.0 and hb > 0.0 else 1.0
-    if round_to is not None:
-        ari, nmi = round(ari, round_to), round(nmi, round_to)
     spark = pairs.sparkSession
+    # round via F.round, not Python round(): Python rounds half-to-even,
+    # Spark/DuckDB ROUND half-away-from-zero — the repo-wide cross-engine
+    # tie discipline (a score landing exactly on a 5 at the 7th decimal
+    # must hash identically on both engines)
+    ari_c, nmi_c = F.lit(ari).cast("double"), F.lit(nmi).cast("double")
+    if round_to is not None:
+        ari_c = F.round(ari_c, round_to)
+        nmi_c = F.round(nmi_c, round_to)
     return spark.range(1).select(
         F.lit(int(n)).cast("long").alias("n_items"),
-        F.lit(ari).cast("double").alias("ari"),
-        F.lit(nmi).cast("double").alias("nmi"),
+        ari_c.alias("ari"),
+        nmi_c.alias("nmi"),
     )
 
 

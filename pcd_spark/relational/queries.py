@@ -1476,7 +1476,7 @@ def c14(spark, sf):
        FROM documents,
             UNNEST(generate_series(
               1, LEAST(5, LEN(string_split(text, ' '))))) AS r(pos)
-       WHERE doc_id < 40""",
+       WHERE doc_id < 40 AND LENGTH(TRIM(text)) > 0""",
 )
 def h11(spark, sf):
     """H11: positional explode (generator / lateral view) — each document

@@ -1750,38 +1750,57 @@ _D15_PHI = 0.02  # report words with frequency >= PHI * total tokens
 
 def _mg_candidates(local_bar: float, capacity: int):
     """Partition-local Misra-Gries candidate stage for d15 (factored out so
-    the decrement path and the never-drops-a-hitter guarantee are unit-
-    testable at tiny capacities). Returns a mapInPandas kernel over a
-    single `word` column.
+    the trim path and the never-drops-a-hitter guarantee are unit-testable
+    at tiny capacities). Returns a mapInPandas kernel over a single `word`
+    column.
 
-    MG invariant [Misra & Gries 1982]: after n_p items with `capacity`
-    counters, stored(w) >= true(w) - n_p/(capacity+1). A word that can
-    still reach the partition-local bar therefore satisfies
-    stored >= local_bar - n_p/(capacity+1) — the emission test below —
-    so the candidate set is a SUPERSET of every true heavy hitter
-    regardless of skew, order, or partition imbalance."""
+    Hot path is VECTORIZED: each Arrow batch is counted with pandas
+    `value_counts` (one C pass over the tokens — a per-element Python loop
+    here would be the only per-token Python in the repo), then MERGED into
+    the bounded summary with the mergeable-MG rule [PUB: Agarwal et al.
+    2012, "Mergeable summaries"]: add counts, and if more than `capacity`
+    keys survive, subtract the (capacity+1)-th largest count from all and
+    drop the non-positive. The merged summary keeps the MG invariant
+    [Misra & Gries 1982]: stored(w) >= true(w) - n_p/(capacity+1).
+
+    A word that can still reach the partition-local bar therefore
+    satisfies stored >= local_bar - n_p/(capacity+1) — the emission test —
+    so the candidate set is a SUPERSET of every true heavy hitter...
+    PROVIDED that bound is positive. When local_bar <= n_p/(capacity+1)
+    the summary genuinely cannot certify (a qualifying word may have been
+    trimmed to zero), so the kernel RAISES with the capacity that would
+    suffice instead of silently returning an incomplete candidate set —
+    d15's exactness contract is refuse-or-exact, never best-effort. At
+    d15's defaults (capacity 4096, phi 0.02) the raise needs ~82x
+    partition skew past the mean."""
     import pandas as pd
 
     def kernel(batches):
         counters: dict = {}
         n_p = 0
         for pdf in batches:
-            for w in pdf["word"]:
-                n_p += 1
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < capacity:
-                    counters[w] = 1
-                else:
-                    # MG decrement step: all counters down 1, drop zeros
-                    dead = []
-                    for kw in counters:
-                        counters[kw] -= 1
-                        if counters[kw] == 0:
-                            dead.append(kw)
-                    for kw in dead:
-                        del counters[kw]
-        bar = local_bar - n_p / (capacity + 1)
+            vc = pdf["word"].value_counts()
+            n_p += int(vc.sum())
+            for w, c in vc.items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > capacity:
+                # mergeable-MG trim: subtract the (capacity+1)-th largest
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[capacity]
+                counters = {
+                    w: c - sub for w, c in counters.items() if c > sub
+                }
+        deficit = n_p / (capacity + 1)
+        bar = local_bar - deficit
+        if n_p > 0 and bar <= 0:
+            raise RuntimeError(
+                "heavy-hitter candidate stage: partition holds "
+                f"{n_p} tokens but the local bar is {local_bar:.1f} — the "
+                f"MG deficit {deficit:.1f} swallows it, so the summary "
+                "cannot certify a candidate superset. Raise the capacity "
+                f"above {int(n_p / local_bar)} (or lower phi / rebalance "
+                "partitions)."
+            )
         out = [w for w, c in counters.items() if c >= bar]
         yield pd.DataFrame({"word": out})
 
@@ -1898,7 +1917,12 @@ def v10(spark, sf):
             "probe_id",
             "cand_id",
             "cemb",
-            _cos(F.col("pemb"), F.col("cemb")).alias("cosine"),
+            # 9-dp rounded rank key: JVM fold order vs a numpy mirror's
+            # pairwise dot can disagree by 1 ulp; rounding keeps the
+            # top-20 cutoff and the greedy argmax cross-implementation
+            # stable (the v8/v9/v11 discipline), without moving any
+            # genuinely distinct score
+            F.round(_cos(F.col("pemb"), F.col("cemb")), 9).alias("cosine"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))

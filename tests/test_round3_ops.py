@@ -206,7 +206,8 @@ def test_mmr_rerank_matches_numpy_mirror(spark, sf_dir):
     lam, topk_in, topk_out = 0.7, 20, 5
 
     def cos(x, y):
-        return float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+        # mirror v10's 9-dp rounded rank key (ulp-stable cross-impl order)
+        return round(float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y))), 9)
 
     want = []
     for probe in sorted(v for v in vecs if v < 5):
@@ -349,3 +350,25 @@ def test_betweenness_rejects_unknown_mode(spark, graphs):
         betweenness_centrality(
             edges_df(spark, graphs["cycle_9"]["edges"]), mode="edgy"
         )
+
+
+def test_mg_candidates_refuse_when_capacity_cannot_certify():
+    """When local_bar <= n_p/(capacity+1) the MG summary cannot guarantee
+    a candidate superset (a qualifying word may have been trimmed away) —
+    the kernel must raise, never silently return an incomplete set."""
+    stream = [f"w{i}" for i in range(200)] + ["hit"] * 11
+    with pytest.raises(RuntimeError, match="cannot certify"):
+        list(_mg_candidates(10.0, 16)(
+            iter([pd.DataFrame({"word": stream})])
+        ))
+
+
+def test_partition_agreement_raises_on_degenerate_input(spark):
+    with pytest.raises(ValueError, match="labeled items"):
+        partition_agreement(
+            spark.createDataFrame([], "a int, b int")
+        ).first()
+    with pytest.raises(ValueError, match="labeled items"):
+        partition_agreement(
+            spark.createDataFrame([(1, 1)], "a int, b int")
+        ).first()
