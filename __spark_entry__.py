@@ -7,7 +7,7 @@ queries()     — one entry per implemented operator from SURVEY.md §2
                 (relational surface B–H incl. the C12–C14 subquery forms,
                 E8/G5, H11/H12 generators, D15 heavy hitters, streaming
                 batch twins, text/dedup/similarity/vector ops X1–X24 /
-                V1–V11, multimodal, graph algorithms K1–K43 incl. K40
+                V1–V11, multimodal, graph algorithms K1–K44 incl. K40
                 ARI/NMI agreement and K41 rich club), each
                 (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent ANSI SQL per query where expressible;

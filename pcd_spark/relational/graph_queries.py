@@ -1411,3 +1411,31 @@ def k43(spark, sf):
         .orderBy(F.desc("betweenness"), F.asc("u"), F.asc("v"))
         .limit(50)
     )
+
+
+@g("k44_local_community", None)  # iterative PPR + bounded sweep; mirror-pinned
+def k44(spark, sf):
+    """K44 (round 3): local community detection around a seed — the
+    PageRank-Nibble sweep [PUB: Andersen, Chung & Lang 2006]: personalized
+    PageRank from the seed, candidates ordered by rank/degree, prefix with
+    the minimum conductance returned. THE practical community query at
+    10^12 edges (global Louvain is an offline batch; "the community around
+    THIS repo" is an online seeded expansion). Seed = the lowest customer
+    vid on the symmetrized customer-supplier graph. Exactness pinned
+    against a pure-python PPR+sweep mirror and structure-recovery tests in
+    tests/test_round3_ops.py; sf0.01 golden value-hash pinned. Full scale
+    shape (what is distributed, what is deliberately bounded-driver-side):
+    pcd_spark/graph/nibble.py."""
+    from pcd_spark.graph import local_community
+
+    e = cust_supp_edges(spark, sf)
+    seed = e.agg(F.min("src")).first()[0]
+    return (
+        local_community(e, seed=int(seed), max_candidates=100)
+        .select(
+            "vid", "position", "in_community",
+            F.round("ppr", 8).alias("ppr"),
+            F.round("phi_prefix", 6).alias("phi_prefix"),
+        )
+        .orderBy("position")
+    )

@@ -25,7 +25,7 @@ def main() -> None:
                              "scc", "hyperball", "harmonic", "betweenness",
                              "ktruss", "coreness", "mis", "projection",
                              "butterflies", "coloring", "katz", "condense",
-                             "scan"])
+                             "scan", "local-community"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -141,6 +141,12 @@ def main() -> None:
         from pcd_spark.graph import scan_similarity
 
         res = scan_similarity(edges)
+    elif args.algo == "local-community":
+        from pcd_spark.graph import local_community
+
+        if not args.source:
+            raise SystemExit("--algo local-community requires --source <vid>")
+        res = local_community(edges, seed=args.source[0], stats_out=stats)
     elif args.algo == "projection":
         # input treated as bipartite (src = center, dst = side)
         res = bipartite_projection(edges)

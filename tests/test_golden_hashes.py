@@ -72,6 +72,7 @@ GOLDEN = {
     "k42_weighted_pagerank": (20, "c4bf0bf952da57c9"),
     "v10_mmr_rerank": (25, "5f5913b13915b3f6"),
     "k43_edge_betweenness": (50, "2a360aeb73cfa954"),
+    "k44_local_community": (100, "a5dcdb0de649870b"),
 }
 
 

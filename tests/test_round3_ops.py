@@ -372,3 +372,73 @@ def test_partition_agreement_raises_on_degenerate_input(spark):
         partition_agreement(
             spark.createDataFrame([(1, 1)], "a int, b int")
         ).first()
+
+
+# ---- K44 local community (PageRank-Nibble) ---------------------------------------
+
+
+def test_local_community_recovers_clique_exactly(spark, graphs):
+    from pcd_spark.graph import local_community
+
+    g = graphs["two_cliques"]  # K10 + K10 bridged 9-10
+    stats: dict = {}
+    out = local_community(
+        edges_df(spark, g["edges"]), seed=0, stats_out=stats
+    ).collect()
+    comm = sorted(r["vid"] for r in out if r["in_community"])
+    assert comm == list(range(10))
+    # phi of the recovered clique: 1 cut edge / vol 91
+    assert stats["best_phi"] == pytest.approx(1 / 91)
+
+
+def test_local_community_matches_pure_python_mirror(spark, graphs):
+    """Full mirror on karate: PPR via the pinned numpy oracle, the same
+    rank/degree order, the same incremental sweep — positions, phi values,
+    and the chosen prefix must agree exactly."""
+    from pcd_spark.graph import local_community
+
+    g = graphs["karate"]
+    seed, maxc = 33, 20
+    out = (
+        local_community(
+            edges_df(spark, g["edges"]), seed=seed, max_candidates=maxc
+        )
+        .orderBy("position")
+        .collect()
+    )
+
+    # mirror
+    edges = g["edges"]
+    dir_edges = edges + [(v, u) for u, v in edges]
+    ppr = pagerank_numpy(
+        g["n"], np.array(dir_edges), tol=1e-14, sources=[seed]
+    )
+    deg = np.zeros(g["n"], dtype=int)
+    for u, v in dir_edges:
+        deg[u] += 1
+    order = sorted(
+        (v for v in range(g["n"]) if ppr[v] > 0),
+        key=lambda v: (-(ppr[v] / deg[v]), v),
+    )[:maxc]
+    nbr = {v: set() for v in range(g["n"])}
+    for u, v in edges:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    two_m = len(dir_edges)
+    vol = cut = 0
+    in_set: set = set()
+    phis = []
+    for v in order:
+        internal = len(nbr[v] & in_set)
+        vol += deg[v]
+        cut += deg[v] - 2 * internal
+        in_set.add(v)
+        denom = min(vol, two_m - vol)
+        phis.append(cut / denom if denom > 0 else float("inf"))
+    best_k = min(range(len(order)), key=lambda i: (phis[i], i))
+
+    assert [r["vid"] for r in out] == order
+    for r, phi in zip(out, phis):
+        assert r["phi_prefix"] == pytest.approx(phi, abs=1e-8)
+    got_comm = [r["vid"] for r in out if r["in_community"]]
+    assert got_comm == order[: best_k + 1]
