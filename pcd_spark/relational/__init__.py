@@ -99,6 +99,9 @@ _PRIORITY = [
     # ---- position 51+: registered, pytest-oracled, outside driver window ----
     # (rotated out or never in: every entry here is hash-matched by the
     # all-entries pytest mirror and scripts/preflight.py --all each round)
+    # second continuation batch (this session), SQL-oracled, awaiting a
+    # future rotation once hash-green:
+    "x25_lm_quality",
     "f3_global_topk", "g1_union",
     "i8_distinct_users_batch", "j2_blob_digest",
     "x4_ngram_jaccard_pairs", "x17_sequence_packing",

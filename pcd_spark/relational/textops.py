@@ -2199,3 +2199,154 @@ def v11(spark, sf):
             F.round(F.count("a_cand") / F.count("*"), 4).alias("recall"),
         )
     )
+
+
+# =========================================================================
+# X25: bigram language-model quality score (round 3 continuation)
+# =========================================================================
+
+_X25_V = 512  # vocabulary size: top words by count, everything else -> <unk>
+_X25_A = 0.5  # add-alpha smoothing mass
+
+
+@qt(
+    "x25_lm_quality",
+    f"""WITH d AS (SELECT doc_id,
+                        list_filter(string_split(TRIM(text), ' '),
+                                    t -> t <> '') AS arr
+                 FROM documents WHERE LENGTH(TRIM(text)) > 0),
+      uni AS (SELECT w, COUNT(*) AS c
+              FROM (SELECT unnest(arr) AS w FROM d) GROUP BY 1),
+      vocab AS (SELECT w, c FROM uni ORDER BY c DESC, w ASC LIMIT {_X25_V}),
+      vn AS (SELECT COUNT(*) + 1 AS vocab_n FROM vocab),
+      unk AS (SELECT COALESCE(SUM(c), 0) AS uc FROM uni
+              WHERE w NOT IN (SELECT w FROM vocab)),
+      c1 AS (SELECT w, c FROM vocab
+             UNION ALL SELECT '<unk>', uc FROM unk),
+      big AS (SELECT b.doc_id,
+                     COALESCE(v1.w, '<unk>') AS w1,
+                     COALESCE(v2.w, '<unk>') AS w2
+              FROM (SELECT doc_id, arr[i] AS w1r, arr[i+1] AS w2r
+                    FROM d, UNNEST(generate_series(1, len(arr) - 1)) AS r(i)
+                    WHERE len(arr) >= 2) b
+              LEFT JOIN vocab v1 ON v1.w = b.w1r
+              LEFT JOIN vocab v2 ON v2.w = b.w2r),
+      dtf AS (SELECT doc_id, w1, w2, COUNT(*) AS dtf FROM big GROUP BY 1,2,3),
+      c2 AS (SELECT w1, w2, SUM(dtf) AS c2 FROM dtf GROUP BY 1, 2),
+      sc AS (SELECT t.doc_id, t.dtf,
+                    CAST(ROUND(LOG2((c2.c2 + {_X25_A})
+                                    / (c1.c + {_X25_A} * vn.vocab_n))
+                               * 10000000, 0) AS BIGINT) AS lpi
+             FROM dtf t JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = t.w1
+             CROSS JOIN vn)
+      SELECT doc_id, CAST(SUM(dtf) AS BIGINT) AS n_bigrams,
+             ROUND(SUM(dtf * lpi) / (10000000.0 * SUM(dtf)), 6) AS lm_score
+      FROM sc GROUP BY doc_id""",
+)
+def x25(spark, sf):
+    """X25: bigram language-model quality score — the CCNet/KenLM-style
+    perplexity filter [PUB: Wenzek et al. 2020 (CCNet); Heafield 2011
+    (KenLM)]: train unigram+bigram counts on the corpus itself (top-V
+    vocabulary, tail pooled into <unk>), then score each document by its
+    mean smoothed bigram log2-probability. Low scores flag
+    out-of-distribution text (mash, boilerplate soup, wrong-language
+    residue) — the standard pretraining quality signal next to X6's
+    surface ratios and X21's entropy.
+
+    Semantics pinned for exactness: vocabulary = top {_X25_V} words by
+    (count DESC, word ASC); P(w2|w1) = (c2 + a)/(c1(w1) + a*(V+1)) with
+    a = {_X25_A}; per-bigram log2 is quantized to integer 1e-7 micro-units
+    on BOTH engines (the k19 lesson) so the per-doc weighted mean is exact
+    integer arithmetic — no float fold-order skew can flip the value hash;
+    the single final division of exact integers is rounded to 6 dp.
+
+    Spark shape for 100 TB: bigrams are generated SCAN-SIDE from the token
+    array (transform over sequence — text never crosses a shuffle); the
+    model tables are vocabulary-sized (vocab via TakeOrderedAndProject
+    top-V, c1 broadcast) and the <unk> mass + V are O(1) collected scalars
+    emitted as literals (k37 discipline — joining them would plan a BNLJ).
+    The one corpus-sized shuffle carries (doc_id, w1, w2) with map-side
+    combine into per-doc bigram-type counts; c2 re-aggregates THAT (much
+    smaller) table, and scoring is two equi joins plus one doc-keyed
+    hash agg. Model-training and scoring are separate scans by design —
+    at corpus scale the model pass runs on a sample tier."""
+    d = load(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+        ).alias("arr"),
+    )
+    uni = (
+        _spread(toks)
+        .select(F.explode("arr").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # vocab-sized; reused (vocab + unk mass)
+    )
+    vocab = (
+        uni.orderBy(F.desc("c"), F.asc("w"))
+        .limit(_X25_V)
+        .localCheckpoint(eager=True)  # reused: two mapping joins + c1
+    )
+    vocab_n = vocab.count() + 1  # O(1) scalar: |vocab| + <unk>
+    unk_c = (
+        uni.join(vocab.select("w"), "w", "left_anti")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("uc"))
+        .first()["uc"]
+    )  # O(1) scalar: pooled tail mass
+    c1 = vocab.unionByName(
+        spark.createDataFrame([("<unk>", int(unk_c))], "w string, c long")
+    )
+    n = F.size("arr")
+    big = (
+        _spread(toks.filter(n >= 2))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("arr") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("arr"), i).alias("w1r"),
+                        F.element_at(F.col("arr"), i + 1).alias("w2r"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1r", "bg.w2r")
+    )
+    v1m = F.broadcast(vocab.select(F.col("w").alias("w1m")))
+    v2m = F.broadcast(vocab.select(F.col("w").alias("w2m")))
+    mapped = (
+        big.join(v1m, F.col("w1r") == F.col("w1m"), "left")
+        .join(v2m, F.col("w2r") == F.col("w2m"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("w1m", F.lit("<unk>")).alias("w1"),
+            F.coalesce("w2m", F.lit("<unk>")).alias("w2"),
+        )
+    )
+    dtf = (
+        mapped.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("dtf"))
+        .localCheckpoint(eager=True)  # bigram-type-sized; reused (c2 + score)
+    )
+    c2 = dtf.groupBy("w1", "w2").agg(F.sum("dtf").alias("c2"))
+    c1w = F.broadcast(c1.select(F.col("w").alias("w1"), F.col("c").alias("c1")))
+    p = (F.col("c2") + F.lit(_X25_A)) / (
+        F.col("c1") + F.lit(_X25_A * vocab_n)
+    )
+    lpi = F.round(F.log2(p) * F.lit(10000000.0), 0).cast("long")
+    scored = (
+        dtf.join(c2, ["w1", "w2"])
+        .join(c1w, "w1")
+        .select("doc_id", "dtf", lpi.alias("lpi"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("dtf").cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("dtf") * F.col("lpi"))
+            / (F.lit(10000000.0) * F.sum("dtf")),
+            6,
+        ).alias("lm_score"),
+    )

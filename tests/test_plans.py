@@ -106,7 +106,11 @@ PLAN_SWEEP = [
 # so it joins x4/x10/x23 in the excluded-from-sweep set; its no-cartesian
 # property holds by construction (explode + equi-joins only). Same for
 # x23_tfidf_topk (eager localCheckpoint of the tf table; explode +
-# equi-join on term + per-doc window only).
+# equi-join on term + per-doc window only) and x25_lm_quality (eager
+# model-table checkpoints + two O(1) scalar collects; scan-side bigram
+# generation + broadcast vocab joins + equi joins only — its executed
+# plan is additionally spot-asserted free of CartesianProduct/BNLJ/
+# BatchEvalPython in test_x25_plan_is_clean below).
 # v1_cosine_topk is deliberately absent: brute-force cosine IS an all-pairs
 # scored scan (the documented exactness baseline for v2/v4) — its plan is
 # asserted separately to be the acceptable form (broadcast probes, stream
@@ -196,6 +200,20 @@ def test_v10_mmr_streams_big_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_x25_plan_is_clean(spark, sf_dir):
+    """x25 builds eagerly (model-table checkpoints + two scalar collects),
+    so it sits outside PLAN_SWEEP — this is its equivalent assertion set.
+    The scoring plan must stay: scan-side bigram generation (narrow
+    Generate), broadcast vocabulary joins, equi hash joins, one doc-keyed
+    hash agg — never an all-pairs join, a row-wise Python node, or a
+    partition-less Window."""
+    plan = _plan(spark, sf_dir, "x25_lm_quality")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_v11_recall_broadcasts_small_sides(spark, sf_dir):
