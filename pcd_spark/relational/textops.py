@@ -2350,3 +2350,85 @@ def x25(spark, sf):
             6,
         ).alias("lm_score"),
     )
+
+
+# =========================================================================
+# V12: k-NN graph construction (round 3 continuation)
+# =========================================================================
+
+_V12_K = 5  # neighbors kept per vector
+
+
+@qt(
+    "v12_knn_graph",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+      b AS (SELECT vec_id, emb,
+                   CASE WHEN emb[1] >= 0 THEN 8 ELSE 0 END
+                   + CASE WHEN emb[2] >= 0 THEN 4 ELSE 0 END
+                   + CASE WHEN emb[3] >= 0 THEN 2 ELSE 0 END
+                   + CASE WHEN emb[4] >= 0 THEN 1 ELSE 0 END AS bucket
+            FROM e),
+      scored AS (
+        SELECT a.vec_id AS src, c.vec_id AS dst,
+               ROUND(list_dot_product(a.emb, c.emb)
+                     / (SQRT(list_dot_product(a.emb, a.emb))
+                        * SQRT(list_dot_product(c.emb, c.emb))), 6) AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket
+                         AND a.vec_id <> c.vec_id)
+      SELECT src, dst, cosine, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cosine DESC, dst ASC) AS rnk
+        FROM scored) WHERE rnk <= {_V12_K}""",
+)
+def v12(spark, sf):
+    """V12: k-NN graph construction — every vector's top-{_V12_K} cosine
+    neighbors among its sign-LSH bucket candidates, emitted as a directed
+    edge table (src, dst, cosine, rnk). This is the operator that BRIDGES
+    the vector family into the graph engine: semantic near-dup clustering,
+    label propagation over embedding similarity, and graph-based dedup all
+    start from exactly this edge table (x10 builds its graph from MinHash
+    buckets; v12 builds the embedding-space analogue) [PUB: Dong, Moses &
+    Li, WWW 2011 (NN-Descent) motivates the k-NN-graph-as-primitive view;
+    the LSH candidate generation is Charikar 2002 sign hashing, v2's
+    construction].
+
+    Exactness: candidates are the vector's own 4-bit sign bucket (the v3
+    rule — deterministic, oracle-expressible); rank key is the 6-dp ROUNDED
+    cosine with dst ASC tiebreak on BOTH engines (v4's discipline), so the
+    per-src top-k SETS are cross-engine identical. Missed cross-bucket
+    neighbors are the documented LSH recall tradeoff; v1 is the exactness
+    baseline and v11 is the evaluation harness that measures exactly this.
+
+    Spark shape for 100 TB: the self-join keys on the BUCKET (cost scales
+    with sum of squared bucket sizes, never n^2 — more hash bits + multi-
+    probe tighten buckets at scale); the top-k is a per-src keyed window
+    over in-bucket candidates only. Vectors shuffle once, keyed by bucket;
+    no vector reaches the driver."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    bucket = (
+        F.when(F.col("emb")[0] >= 0, 8).otherwise(0)
+        + F.when(F.col("emb")[1] >= 0, 4).otherwise(0)
+        + F.when(F.col("emb")[2] >= 0, 2).otherwise(0)
+        + F.when(F.col("emb")[3] >= 0, 1).otherwise(0)
+    )
+    b = e.select("vec_id", "emb", bucket.alias("bucket"))
+    a = b.select(F.col("vec_id").alias("src"), F.col("emb").alias("e1"), "bucket")
+    c = b.select(F.col("vec_id").alias("dst"), F.col("emb").alias("e2"), "bucket")
+    scored = (
+        a.join(c, ["bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(_cos(F.col("e1"), F.col("e2")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _V12_K)
+        .select("src", "dst", "cosine", "rnk")
+    )

@@ -90,6 +90,10 @@ PLAN_SWEEP = [
     # x24 shared spans: shingle explode + digest hash agg + doc-keyed
     # windows — no cross join anywhere, and both Window nodes partition
     "x24_shared_spans",
+    # v12 k-NN graph: the bucket self-join must stay an equi hash join
+    # (cost = sum of squared bucket sizes, never n^2) and the top-k window
+    # partitions by src
+    "v12_knn_graph",
 ]
 # v10_mmr_rerank candidate generation IS v1's broadcast-probes scan — it
 # shares v1's sweep exemption and gets the same dedicated BuildLeft
