@@ -324,3 +324,64 @@ def read_evolved(spark, path: str) -> DataFrame:
     exercised in tests/test_storage_bucketed.py.
     """
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 128,
+    even: bool = True,
+) -> dict:
+    """A11: small-file compaction — rewrite a parquet directory into files
+    sized for the scan path. The small-files problem is THE operational
+    failure mode of an incrementally-written 100 TB lake: streaming sinks
+    (A7), per-micro-batch foreachBatch merges (I7) and dynamic partition
+    overwrites (A9) each land one-file-per-task-per-trigger, and a table of
+    10^7 kilobyte files costs more in listing, footer reads and task
+    scheduling than in data (each scan task pays ~fixed overhead; Spark
+    packs splits up to `spark.sql.files.maxPartitionBytes`, but packing
+    cannot recover per-FILE footer/open costs).
+
+    Sizing: the output file count is ceil(on-disk bytes / target_mb), from
+    the filesystem listing the driver already has (O(files) metadata, no
+    data pass). `even=True` round-robins rows across output files
+    (`repartition(n)` — ONE full shuffle of the data, every output file
+    within a row of equal row count; right when the input is skewed, e.g.
+    one straggler file per trigger plus dust). `even=False` uses
+    `coalesce(n)` — NO shuffle (input splits are glued into n tasks), at
+    the price of output files as uneven as the input distribution;
+    right when the input is uniform dust and the table is huge.
+
+    Returns {files_in, bytes_in, files_out, target_files} so callers and
+    tests can assert the compaction actually happened. Row-for-row content
+    is preserved (asserted in tests/test_storage_bucketed.py); ordering is not (a
+    parquet directory carries no order contract).
+    """
+    import math
+    import os
+
+    sizes = []
+    for root, _dirs, files in os.walk(in_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                sizes.append(os.path.getsize(os.path.join(root, f)))
+    if not sizes:
+        raise ValueError(f"no parquet files under {in_path}")
+    bytes_in = sum(sizes)
+    n_out = max(1, math.ceil(bytes_in / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_path)
+    out = df.repartition(n_out) if even else df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(out_path)
+    files_out = sum(
+        1
+        for root, _d, fs in os.walk(out_path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return {
+        "files_in": len(sizes),
+        "bytes_in": bytes_in,
+        "files_out": files_out,
+        "target_files": n_out,
+    }

@@ -177,3 +177,49 @@ def test_read_evolved_merges_schema_versions(spark, tmp_path):
         .parquet(path + "/batch=1", path + "/batch=2")
     )
     assert pinned.filter(F.col("quality").isNull()).count() == 2
+
+
+def test_compact_parquet_reduces_file_count_and_keeps_rows(spark, tmp_path):
+    """A11: 32 dust files -> a handful of target-sized files, content
+    row-for-row identical, and the even (repartition) path balances output
+    file sizes."""
+    from pcd_spark.storage import compact_parquet
+
+    src = str(tmp_path / "dust")
+    df = spark.createDataFrame(
+        [(i, f"row-{i}" * 20) for i in range(4000)], "id long, payload string"
+    )
+    df.repartition(32).write.parquet(src)  # 32 small files
+    out = str(tmp_path / "compacted")
+    # pick a tiny target so the sizing math produces >1 output file
+    import os
+
+    bytes_in = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    target_mb = max(1, int(bytes_in / (4 * 1024 * 1024)) + 1)
+    stats = compact_parquet(spark, src, out, target_mb=target_mb)
+    assert stats["files_in"] == 32
+    assert stats["files_out"] == stats["target_files"] < 32
+    a = sorted(spark.read.parquet(src).collect())
+    b = sorted(spark.read.parquet(out).collect())
+    assert a == b
+    # uneven inputs still compact through the no-shuffle path
+    out2 = str(tmp_path / "coalesced")
+    stats2 = compact_parquet(spark, src, out2, target_mb=target_mb, even=False)
+    assert stats2["files_out"] <= stats["files_out"]
+    assert sorted(spark.read.parquet(out2).collect()) == a
+
+
+def test_compact_parquet_raises_on_empty_dir(spark, tmp_path):
+    import pytest as _pytest
+
+    from pcd_spark.storage import compact_parquet
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, str(empty), str(tmp_path / "x"))
