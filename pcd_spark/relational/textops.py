@@ -2432,3 +2432,122 @@ def v12(spark, sf):
         .filter(F.col("rnk") <= _V12_K)
         .select("src", "dst", "cosine", "rnk")
     )
+
+
+# =========================================================================
+# X26: segment-level cross-doc dedup with document reconstruction
+# =========================================================================
+
+_X26_W = 12  # words per segment (stands in for newline-split lines here)
+
+
+_X26_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+seg AS (SELECT doc_id, i,
+          md5(array_to_string(
+            list_slice(words, (i - 1) * {_X26_W} + 1,
+                       (i - 1) * {_X26_W} + {_X26_W}), ' ')) AS m
+        FROM d, UNNEST(generate_series(
+          1, CAST(FLOOR(len(words) / {_X26_W}.0) AS BIGINT))) t(i)),
+win AS (SELECT m, MIN(doc_id) AS keeper FROM seg GROUP BY m),
+fl AS (SELECT s.doc_id, s.i, (s.doc_id = w.keeper) AS keep
+       FROM seg s JOIN win w USING (m)),
+agg AS (SELECT doc_id,
+          COUNT(*) AS n_segments,
+          CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+          list_sort(list(i) FILTER (WHERE keep)) AS kept_is
+        FROM fl GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_segments, 0) AS n_segments,
+       COALESCE(a.n_dropped, 0) AS n_dropped,
+       COALESCE(array_to_string(list_concat(
+         [array_to_string(list_slice(d.words, (i - 1) * {_X26_W} + 1,
+                                     (i - 1) * {_X26_W} + {_X26_W}), ' ')
+          for i in COALESCE(a.kept_is, [])],
+         CASE WHEN len(d.words) % {_X26_W} > 0
+           THEN [array_to_string(list_slice(d.words,
+                  CAST(FLOOR(len(d.words) / {_X26_W}.0) AS BIGINT)
+                    * {_X26_W} + 1,
+                  len(d.words)), ' ')]
+           ELSE [] END), ' '), '') AS kept_text
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@qt("x26_segment_dedup_rewrite", _X26_SQL)
+def x26(spark, sf):
+    """X26: segment-level cross-doc dedup that REWRITES the document —
+    the CCNet / RefinedWeb "drop duplicated lines, keep the remainder"
+    curation op [PUB: Wenzek et al. 2020 CCNet line-dedup; Penedo et al.
+    2023 RefinedWeb §G.2]. x16 only SCORES partial overlap; x26 applies
+    the edit: each disjoint {_X26_W}-word segment is kept in exactly the
+    lowest-doc_id document containing it (deterministic keep-first) and
+    dropped everywhere else, and the surviving segments plus the
+    sub-segment tail are reassembled in original order into kept_text.
+    Output: (doc_id, n_segments, n_dropped, kept_text) — one row per input
+    doc, so the op composes as a corpus->corpus rewrite stage.
+
+    Scale shape for 100 TB: segment text never shuffles — the md5 is
+    computed scan-side and only (m, doc_id, i) triplets enter the
+    winner agg (map-side-combined MIN) and the keep/drop join; the per-doc
+    result collapses to an O(segments/doc) int array, and full text moves
+    exactly ONCE, co-keyed by doc_id, for the reconstruction join. The
+    alternative (routing segment text through the m-keyed shuffle) would
+    move the whole corpus through the skewed hash space; this shape moves
+    16-byte digests there instead. Within-doc repeats in the keeper doc
+    are kept (x11/x16 are the within-doc signals); the keep-first policy
+    matches x14's deterministic keep-best discipline with doc_id as the
+    quality key.
+    """
+    W = _X26_W
+    d = load(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    n_full = F.floor(F.size("words") / W).cast("int")
+    segs = (
+        _spread(d.filter(F.size("words") >= W))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.floor(F.size("words") / W).cast("int")),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(
+                            F.concat_ws(
+                                " ", F.slice("words", (i - 1) * W + 1, W)
+                            )
+                        ).alias("m"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.i", "s.m")
+    )
+    win = segs.groupBy("m").agg(F.min("doc_id").alias("keeper"))
+    fl = segs.join(win, "m").select(
+        "doc_id", "i", (F.col("doc_id") == F.col("keeper")).alias("keep")
+    )
+    agg = fl.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+        F.sort_array(F.collect_list(F.when(F.col("keep"), F.col("i")))).alias(
+            "kept_is"
+        ),
+    )
+    rec = d.join(agg, "doc_id", "left")
+    kept_is = F.coalesce("kept_is", F.array().cast("array<int>"))
+    pieces = F.transform(
+        kept_is, lambda i: F.concat_ws(" ", F.slice("words", (i - 1) * W + 1, W))
+    )
+    tail_len = F.size("words") - n_full * W
+    tail = F.when(
+        tail_len > 0,
+        F.array(F.concat_ws(" ", F.slice("words", n_full * W + 1, tail_len))),
+    ).otherwise(F.array().cast("array<string>"))
+    return rec.select(
+        "doc_id",
+        F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        F.array_join(F.concat(pieces, tail), " ").alias("kept_text"),
+    )

@@ -442,3 +442,34 @@ def test_local_community_matches_pure_python_mirror(spark, graphs):
         assert r["phi_prefix"] == pytest.approx(phi, abs=1e-8)
     got_comm = [r["vid"] for r in out if r["in_community"]]
     assert got_comm == order[: best_k + 1]
+
+
+# ---- X26 segment dedup rewrite ----------------------------------------------
+
+
+def test_x26_drops_shared_segment_from_higher_doc_and_keeps_tail(spark, tmp_path):
+    """Constructed corpus: a 12-word segment shared verbatim by docs 1 and 2
+    must survive only in doc 1 (keep-first), doc 2's unique material and
+    sub-segment tail must survive untouched, and a doc shorter than one
+    segment passes through byte-identical."""
+    from pcd_spark.relational.textops import x26
+
+    seg = " ".join(f"dup{i}" for i in range(12))      # the shared segment
+    uniq1 = " ".join(f"one{i}" for i in range(12))
+    uniq2 = " ".join(f"two{i}" for i in range(12))
+    docs = [
+        (1, f"{seg} {uniq1}"),                        # keeper of `seg`
+        (2, f"{uniq2} {seg} tail words"),             # loses `seg`, keeps tail
+        (3, "short doc only"),                        # < 12 words: pass-through
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = {r["doc_id"]: r for r in x26(spark, sf).collect()}
+    assert out[1]["kept_text"] == f"{seg} {uniq1}"
+    assert out[1]["n_segments"] == 2 and out[1]["n_dropped"] == 0
+    assert out[2]["kept_text"] == f"{uniq2} tail words"
+    assert out[2]["n_segments"] == 2 and out[2]["n_dropped"] == 1
+    assert out[3]["kept_text"] == "short doc only"
+    assert out[3]["n_segments"] == 0 and out[3]["n_dropped"] == 0
