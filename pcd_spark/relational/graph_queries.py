@@ -1439,3 +1439,29 @@ def k44(spark, sf):
         )
         .orderBy("position")
     )
+
+
+@g("k45_heavy_matching", None)  # iterative hash-priority fixpoint;
+# property-pinned in pytest + sf0.01 golden value-hash
+def k45(spark, sf):
+    """K45: deterministic heavy-edge maximal matching on the bounded part
+    co-occurrence graph, weighted by co-occurrence multiplicity — the
+    METIS-style coarsening primitive (matched pairs contract into
+    supervertices between multilevel passes) and a ½-approximation of
+    maximum-weight matching [PUB: Preis 1999; Karypis & Kumar 1998].
+    Matching/maximality/½-approx properties and the networkx comparison
+    are pinned in tests/test_round3_ops.py (rows-only driver check: the
+    tiebreak priority is xxhash64, which DuckDB cannot evaluate)."""
+    from pcd_spark.graph import maximal_matching
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .filter((F.col("src") < 2000) & (F.col("dst") < 2000))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    return maximal_matching(e, weight_col="weight").orderBy("vid")

@@ -73,6 +73,7 @@ GOLDEN = {
     "v10_mmr_rerank": (25, "5f5913b13915b3f6"),
     "k43_edge_betweenness": (50, "2a360aeb73cfa954"),
     "k44_local_community": (100, "a5dcdb0de649870b"),
+    "k45_heavy_matching": (2000, "58501a5fa44add6c"),
 }
 
 

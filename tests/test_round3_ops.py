@@ -473,3 +473,64 @@ def test_x26_drops_shared_segment_from_higher_doc_and_keeps_tail(spark, tmp_path
     assert out[2]["n_segments"] == 2 and out[2]["n_dropped"] == 1
     assert out[3]["kept_text"] == "short doc only"
     assert out[3]["n_segments"] == 0 and out[3]["n_dropped"] == 0
+
+
+# ---- K45 maximal matching ----------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["karate", "path_100", "star_1001", "ba_1000"])
+def test_matching_is_valid_maximal_and_half_approx(spark, graphs, name):
+    """Matching (partner symmetric, each vertex once), maximality (no edge
+    with both endpoints unmatched), and the greedy ½-approximation bound
+    vs networkx's maximum-cardinality matching."""
+    from pcd_spark.graph import maximal_matching
+
+    g = graphs[name]
+    rows = maximal_matching(edges_df(spark, g["edges"])).collect()
+    partner = {r["vid"]: r["partner"] for r in rows}
+    matched = {r["vid"] for r in rows if r["matched"]}
+    assert len(rows) == len(partner)  # each vertex exactly once
+    for v in matched:
+        assert partner[partner[v]] == v and partner[v] != v
+    unmatched = set(partner) - matched
+    for u, v in g["edges"]:
+        assert not (u in unmatched and v in unmatched), f"not maximal: {u}-{v}"
+    G = nx.Graph(g["edges"])
+    mx = nx.max_weight_matching(G, maxcardinality=True)
+    assert len(matched) // 2 >= math.ceil(len(mx) / 2)
+
+
+def test_heavy_matching_is_half_approx_of_max_weight(spark):
+    """Weighted mode (Preis's locally-heaviest rule): matched weight must be
+    >= half the maximum-weight matching, checked on a hash-weighted BA
+    graph against networkx's exact blossom solver."""
+    from pcd_spark.graph import maximal_matching
+
+    ba = nx.barabasi_albert_graph(120, 2, seed=7)
+    edges = [(u, v) for u, v in ba.edges()]
+    wts = [float(1 + ((u * 31 + v * 17) % 10)) for u, v in edges]
+    rows = maximal_matching(
+        edges_df(spark, edges, weights=wts), weight_col="weight"
+    ).collect()
+    partner = {r["vid"]: r["partner"] for r in rows}
+    wmap = {(min(u, v), max(u, v)): w for (u, v), w in zip(edges, wts)}
+    got = sum(
+        wmap[(min(v, p), max(v, p))]
+        for v, p in partner.items() if p is not None and v < p
+    )
+    for u, v in ba.edges():
+        ba[u][v]["weight"] = wmap[(min(u, v), max(u, v))]
+    opt = nx.max_weight_matching(ba)
+    optw = sum(ba[u][v]["weight"] for u, v in opt)
+    assert got >= optw / 2, (got, optw)
+
+
+def test_matching_is_partition_invariant(spark, graphs):
+    """Hash priorities, not partitioning, decide the matching: identical
+    output at 2 and 16 input partitions."""
+    from pcd_spark.graph import maximal_matching
+
+    e = edges_df(spark, graphs["ba_1000"]["edges"])
+    a = sorted(map(tuple, maximal_matching(e.repartition(2)).collect()))
+    b = sorted(map(tuple, maximal_matching(e.repartition(16)).collect()))
+    assert a == b
