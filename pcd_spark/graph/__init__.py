@@ -44,4 +44,4 @@ from pcd_spark.graph.mis import maximal_independent_set  # noqa: F401
 from pcd_spark.graph.coloring import greedy_coloring  # noqa: F401
 from pcd_spark.graph.condense import condensation, topological_levels  # noqa: F401
 from pcd_spark.graph.nibble import local_community  # noqa: F401
-from pcd_spark.graph.matching import maximal_matching  # noqa: F401
+from pcd_spark.graph.matching import maximal_matching, coarsen_graph  # noqa: F401

@@ -176,3 +176,53 @@ def maximal_matching(
     ce.unpersist()
     edges.unpersist()
     return out
+
+
+def coarsen_graph(
+    edges: DataFrame,
+    matching: DataFrame,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """K46 — contract a matching into a coarse graph (the multilevel
+    coarsening step [PUB: Karypis & Kumar 1998 §3; Hendrickson & Leland
+    1995]): each matched pair becomes one supervertex named min(vid,
+    partner), unmatched vertices carry over, parallel coarse edges merge
+    with SUMMED weight, and intra-pair edges vanish (they are the
+    contracted matching edges). Output: (src, dst, weight) canonical
+    undirected with src < dst; total weight is conserved minus exactly the
+    contracted edges' weight — the checkable conservation law pinned in
+    tests/test_round3_ops.py.
+
+    Scale shape: the vertex->supervertex map is one projection of the
+    matching result (no join needed to build it), applied to the edge
+    table via two hash equi-joins on the endpoints, then ONE hash agg on
+    the coarse key pair — the same cost as a single LPA superstep. Applied
+    log(V) times this is the full METIS-style coarsening ladder, each
+    level roughly halving V while the engine's algorithms (Louvain, LPA,
+    partitioning) run on the shrunken graph and project back."""
+    vmap = matching.select(
+        "vid",
+        F.when(
+            F.col("partner").isNotNull(), F.least("vid", "partner")
+        ).otherwise(F.col("vid")).alias("sv"),
+    )
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        w.alias("w"),
+    )
+    return (
+        e.join(vmap.withColumnRenamed("vid", "src")
+               .withColumnRenamed("sv", "ssv"), "src")
+        .join(vmap.withColumnRenamed("vid", "dst")
+              .withColumnRenamed("sv", "dsv"), "dst")
+        .filter(F.col("ssv") != F.col("dsv"))
+        .select(
+            F.least("ssv", "dsv").alias("src"),
+            F.greatest("ssv", "dsv").alias("dst"),
+            "w",
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("weight"))
+    )

@@ -145,7 +145,7 @@ _PRIORITY = [
     # tests/test_golden_hashes.py; the SQL-oracled members of the batch
     # were rotated into the window above after going hash-green)
     "v10_mmr_rerank", "k42_weighted_pagerank", "k43_edge_betweenness",
-    "k44_local_community", "k45_heavy_matching",
+    "k44_local_community", "k45_heavy_matching", "k46_coarsen",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -1465,3 +1465,31 @@ def k45(spark, sf):
         .agg(F.count("*").cast("double").alias("weight"))
     )
     return maximal_matching(e, weight_col="weight").orderBy("vid")
+
+
+@g("k46_coarsen", None)  # matching-dependent contraction; property-pinned
+# in pytest + sf0.01 golden value-hash
+def k46(spark, sf):
+    """K46: one multilevel coarsening step — contract K45's heavy-edge
+    matching on the bounded weighted part co-occurrence graph into
+    supervertices; parallel coarse edges merge with summed weight, the
+    contracted matching edges vanish [PUB: Karypis & Kumar 1998 §3].
+    Weight conservation (total coarse weight == total fine weight minus
+    contracted-edge weight) and the ~halving of |V| are pinned in
+    tests/test_round3_ops.py (rows-only driver check: depends on the
+    xxhash64 matching)."""
+    from pcd_spark.graph import coarsen_graph, maximal_matching
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .filter((F.col("src") < 2000) & (F.col("dst") < 2000))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+        .localCheckpoint(eager=True)  # reused: matching + contraction
+    )
+    m = maximal_matching(e, weight_col="weight")
+    return coarsen_graph(e, m, weight_col="weight").orderBy("src", "dst")

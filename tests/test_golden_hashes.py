@@ -74,6 +74,7 @@ GOLDEN = {
     "k43_edge_betweenness": (50, "2a360aeb73cfa954"),
     "k44_local_community": (100, "a5dcdb0de649870b"),
     "k45_heavy_matching": (2000, "58501a5fa44add6c"),
+    "k46_coarsen": (100016, "c0f8c8f64aef7bde"),
 }
 
 

@@ -570,3 +570,46 @@ def test_v13_recall_vs_exact_numpy(spark, sf_dir):
             assert math.isclose(r["cosine"], want, abs_tol=2e-6)
         recs.append(len({r["cand_id"] for r in got} & exact10) / 10)
     assert sum(recs) / len(recs) >= 0.8, recs
+
+
+# ---- K46 coarsening -----------------------------------------------------------
+
+
+def test_coarsen_conserves_weight_and_halves_vertices(spark, graphs):
+    """Contraction law: total coarse weight == total fine weight minus the
+    contracted matching edges' weight; coarse |V| == fine |V| - |matched
+    pairs|; no self-loops survive."""
+    from pcd_spark.graph import coarsen_graph, maximal_matching
+
+    edges = graphs["ba_1000"]["edges"]
+    wts = [float(1 + ((u * 13 + v * 7) % 5)) for u, v in edges]
+    e = edges_df(spark, edges, weights=wts)
+    m = maximal_matching(e, weight_col="weight")
+    c = coarsen_graph(e, m, weight_col="weight")
+    rows = c.collect()
+    assert all(r["src"] < r["dst"] for r in rows)
+    partner = {r["vid"]: r["partner"] for r in m.collect()}
+    matched_pairs = {(min(v, p), max(v, p)) for v, p in partner.items() if p is not None}
+    wmap = {(min(u, v), max(u, v)): w for (u, v), w in zip(edges, wts)}
+    contracted_w = sum(wmap.get(pr, 0.0) for pr in matched_pairs)
+    total_fine = sum(wmap.values())
+    total_coarse = sum(r["weight"] for r in rows)
+    assert math.isclose(total_coarse, total_fine - contracted_w, rel_tol=1e-9)
+    fine_v = len(partner)
+    coarse_v = len({r["src"] for r in rows} | {r["dst"] for r in rows})
+    assert coarse_v <= fine_v - len(matched_pairs)
+
+
+def test_coarsen_hand_case(spark):
+    """Square 1-2-3-4-1 with heavy edges (1,2) and (3,4): matching takes
+    both, the coarse graph is a single supervertex pair {1,2}-{3,4} with
+    weight = the two light edges' sum."""
+    from pcd_spark.graph import coarsen_graph, maximal_matching
+
+    e = edges_df(
+        spark, [(1, 2), (2, 3), (3, 4), (4, 1)], weights=[9.0, 1.0, 9.0, 1.0]
+    )
+    m = maximal_matching(e, weight_col="weight")
+    rows = coarsen_graph(e, m, weight_col="weight").collect()
+    assert len(rows) == 1
+    assert (rows[0]["src"], rows[0]["dst"], rows[0]["weight"]) == (1, 3, 2.0)
