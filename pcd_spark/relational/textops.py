@@ -2671,3 +2671,93 @@ def v13(spark, sf):
         .filter(F.col("rnk") <= _V13_K)
         .select("probe_id", "cand_id", "cosine", "prefix_cosine", "rnk")
     )
+
+
+# =========================================================================
+# X27: temperature-scaled source mixing (round 3 continuation)
+# =========================================================================
+
+_X27_TAU = 0.5   # temperature: p_s ∝ tokens_s^τ (τ=1 natural, τ→0 uniform)
+_X27_BUDGET = 0.5  # sampled budget as a fraction of the corpus's tokens
+
+
+_X27_SQL = f"""
+WITH t AS (SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
+           FROM documents),
+s AS (SELECT source, SUM(ntok) AS stok FROM t GROUP BY source),
+g AS (SELECT SUM(stok) AS tot, SUM(SQRT(stok)) AS z FROM s),
+r AS (SELECT source,
+             ROUND(LEAST(1.0,
+               {_X27_BUDGET} * g.tot * (SQRT(s.stok) / g.z) / s.stok), 6)
+               AS rate
+      FROM s, g)
+SELECT t.doc_id, t.source, r.rate,
+       (r.rate >= 1.0
+        OR substring(md5('mix1-' || CAST(t.doc_id AS VARCHAR)), 1, 6)
+           < printf('%06x', CAST(ROUND(r.rate * 16777216, 0) AS BIGINT)))
+         AS kept
+FROM t JOIN r USING (source)
+"""
+
+
+@qt("x27_source_mixing", _X27_SQL)
+def x27(spark, sf):
+    """X27: temperature-scaled source mixing — the multilingual/multi-source
+    sampling rule [PUB: Conneau & Lample 2019 XLM §3.1; Xue et al. 2021 mT5
+    α-sampling; Xie et al. 2023 DoReMi is the learned refinement]: target
+    share p_s ∝ tokens_s^τ (τ={_X27_TAU} here — big sources damped, small
+    sources boosted), per-source keep-rate = min(1, B·p_s/tokens_s) against
+    a {_X27_BUDGET}-of-corpus token budget, applied per doc by the x15/x18
+    salted-md5 hex threshold, so the SAME doc set is reproduced by any
+    engine with md5 — no RNG state anywhere.
+
+    Scale shape for 100 TB: the per-source statistics table is O(sources)
+    (hash agg with map-side combine over (source, ntok) — text never
+    shuffles), the rate table broadcasts, and the keep decision is a
+    stateless per-row expression; 10^12 docs stream through one scan +
+    one broadcast join. Cross-engine exactness: rates are 6-dp rounded on
+    BOTH engines before the threshold is derived, and the threshold
+    comparison is fixed-width lowercase hex (lexicographic == numeric);
+    rate >= 1 short-circuits so the 7-hex-digit boundary case never
+    reaches the string compare."""
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("double").alias("ntok"),
+    )
+    s = d.groupBy("source").agg(F.sum("ntok").alias("stok"))
+    g = s.agg(
+        F.sum("stok").alias("tot"), F.sum(F.sqrt("stok")).alias("z")
+    )
+    r = (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(_X27_BUDGET)
+                    * F.col("tot")
+                    * (F.sqrt("stok") / F.col("z"))
+                    / F.col("stok"),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+    thr = F.format_string(
+        "%06x", F.round(F.col("rate") * 16777216, 0).cast("long")
+    )
+    h6 = F.substring(
+        F.md5(F.concat(F.lit("mix1-"), F.col("doc_id").cast("string"))), 1, 6
+    )
+    return (
+        d.join(F.broadcast(r), "source")
+        .select(
+            "doc_id",
+            "source",
+            "rate",
+            ((F.col("rate") >= 1.0) | (h6 < thr)).alias("kept"),
+        )
+    )

@@ -613,3 +613,38 @@ def test_coarsen_hand_case(spark):
     rows = coarsen_graph(e, m, weight_col="weight").collect()
     assert len(rows) == 1
     assert (rows[0]["src"], rows[0]["dst"], rows[0]["weight"]) == (1, 3, 2.0)
+
+
+# ---- X27 temperature mixing ---------------------------------------------------
+
+
+def test_x27_rates_follow_temperature_rule_on_skewed_corpus(spark, tmp_path):
+    """Skewed corpus (one source 100 docs, one 10, one 1, all 20-word
+    docs): rates must match the closed-form τ=0.5 rule exactly, order
+    inversely to source size, and the realized kept fraction must be
+    within binomial noise of the rate."""
+    from pcd_spark.relational.textops import x27, _X27_BUDGET
+
+    text = " ".join(f"w{i}" for i in range(20))
+    docs = [(i, text, "en", "big", len(text)) for i in range(100)]
+    docs += [(100 + i, text, "en", "mid", len(text)) for i in range(10)]
+    docs += [(110, text, "en", "tiny", len(text))]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = x27(spark, sf).collect()
+    rate = {}
+    for r in rows:
+        rate.setdefault(r["source"], r["rate"])
+    stok = {"big": 2000.0, "mid": 200.0, "tiny": 20.0}
+    z = sum(math.sqrt(v) for v in stok.values())
+    tot = sum(stok.values())
+    for s, v in stok.items():
+        want = round(min(1.0, _X27_BUDGET * tot * (math.sqrt(v) / z) / v), 6)
+        assert math.isclose(rate[s], want, abs_tol=1e-9), (s, rate[s], want)
+    # mid and tiny clip at 1.0 (a filter cannot upsample; the boosted
+    # budget share simply keeps everything), big is genuinely damped
+    assert rate["big"] < rate["mid"] == rate["tiny"] == 1.0
+    kept_big = sum(1 for r in rows if r["source"] == "big" and r["kept"])
+    assert abs(kept_big / 100 - rate["big"]) < 0.15  # 100 Bernoulli(rate) draws
