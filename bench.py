@@ -95,6 +95,14 @@ BENCH_QUERIES = [
     "v10_mmr_rerank",
     "x24_shared_spans",
     "v11_ann_recall",
+    # second continuation batch
+    "x25_lm_quality",
+    "v12_knn_graph",
+    "x26_segment_dedup_rewrite",
+    "v13_matryoshka_rerank",
+    "x27_source_mixing",
+    "k45_heavy_matching",
+    "k46_coarsen",
 ]
 
 

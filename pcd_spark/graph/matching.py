@@ -50,6 +50,7 @@ def maximal_matching(
     num_parts: int | None = None,
     store: CheckpointStore | None = None,
     checkpoint_every: int = 10,
+    small_graph_cutoff: int = 200_000,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """Deterministic maximal matching: (vid: long, matched: boolean,
@@ -59,7 +60,17 @@ def maximal_matching(
     maximum-weight matching; without it, all weights are 1 and the result
     is a plain maximal matching (>= ½ of maximum cardinality). Isolated
     vertices (no edges at all) are not represented (graph-normal-form
-    convention shared by the whole K suite)."""
+    convention shared by the whole K suite).
+
+    Graphs at or below `small_graph_cutoff` edges run sequential greedy on
+    the driver instead of distributed rounds — RESULT-IDENTICAL, because
+    the locally-minimal parallel algorithm computes exactly the greedy
+    matching of the fixed priority order [PUB: Blelloch, Fineman & Shun,
+    SPAA 2012, "Greedy sequential maximal independent set and matching are
+    parallel on average"]; equality is pinned across both paths in
+    tests/test_round3_ops.py. The O(superstep) fixed cost only pays for
+    itself when the edge table doesn't fit one task; 200k edges is ~3 MB.
+    Set small_graph_cutoff=0 to force the distributed path."""
     edges = edges.persist()
     p = num_parts or adaptive_num_parts(edges)
 
@@ -93,7 +104,33 @@ def maximal_matching(
         .repartition(p, "src")
         .persist()
     )
-    _gtok = f"edges={ce.count()}"
+    n_edges = ce.count()
+    _gtok = f"edges={n_edges}"
+
+    if n_edges <= small_graph_cutoff:
+        rows = ce.select("e.nw", "e.h", "e.u", "e.v").collect()
+        rows.sort(key=lambda r: (r["nw"], r["h"], r["u"], r["v"]))
+        partner: dict[int, int] = {}
+        verts: set[int] = set()
+        for r in rows:
+            u, v = r["u"], r["v"]
+            verts.add(u)
+            verts.add(v)
+            if u not in partner and v not in partner:
+                partner[u] = v
+                partner[v] = u
+        out_rows = [
+            (vid, vid in partner, partner.get(vid)) for vid in sorted(verts)
+        ]
+        if stats_out is not None:
+            stats_out["iterations"] = 0
+            stats_out["path"] = "greedy-sequential"
+        ce.unpersist()
+        edges.unpersist()
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            out_rows, "vid long, matched boolean, partner long"
+        )
 
     init = (
         ce.select(F.col("src").alias("vid"))

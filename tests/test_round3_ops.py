@@ -531,8 +531,10 @@ def test_matching_is_partition_invariant(spark, graphs):
     from pcd_spark.graph import maximal_matching
 
     e = edges_df(spark, graphs["ba_1000"]["edges"])
-    a = sorted(map(tuple, maximal_matching(e.repartition(2)).collect()))
-    b = sorted(map(tuple, maximal_matching(e.repartition(16)).collect()))
+    a = sorted(map(tuple, maximal_matching(
+        e.repartition(2), small_graph_cutoff=0).collect()))
+    b = sorted(map(tuple, maximal_matching(
+        e.repartition(16), small_graph_cutoff=0).collect()))
     assert a == b
 
 
@@ -648,3 +650,17 @@ def test_x27_rates_follow_temperature_rule_on_skewed_corpus(spark, tmp_path):
     assert rate["big"] < rate["mid"] == rate["tiny"] == 1.0
     kept_big = sum(1 for r in rows if r["source"] == "big" and r["kept"])
     assert abs(kept_big / 100 - rate["big"]) < 0.15  # 100 Bernoulli(rate) draws
+
+
+@pytest.mark.parametrize("name", ["karate", "ba_1000", "path_100"])
+def test_matching_driver_and_distributed_paths_agree(spark, graphs, name):
+    """The Blelloch-Fineman-Shun equivalence the small-graph path rests
+    on: sequential greedy in priority order == distributed locally-minimal
+    rounds, bit-for-bit."""
+    from pcd_spark.graph import maximal_matching
+
+    e = edges_df(spark, graphs[name]["edges"])
+    a = sorted(map(tuple, maximal_matching(e).collect()))
+    b = sorted(map(tuple,
+                   maximal_matching(e, small_graph_cutoff=0).collect()))
+    assert a == b
