@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "x27_source_mixing",
     "k45_heavy_matching",
     "k46_coarsen",
+    "k47_densest_subgraph",
 ]
 
 

@@ -45,3 +45,4 @@ from pcd_spark.graph.coloring import greedy_coloring  # noqa: F401
 from pcd_spark.graph.condense import condensation, topological_levels  # noqa: F401
 from pcd_spark.graph.nibble import local_community  # noqa: F401
 from pcd_spark.graph.matching import maximal_matching, coarsen_graph  # noqa: F401
+from pcd_spark.graph.densest import densest_subgraph  # noqa: F401

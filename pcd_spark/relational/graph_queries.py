@@ -1493,3 +1493,22 @@ def k46(spark, sf):
     )
     m = maximal_matching(e, weight_col="weight")
     return coarsen_graph(e, m, weight_col="weight").orderBy("src", "dst")
+
+
+@g("k47_densest_subgraph", None)  # data-dependent-threshold peeling;
+# brute-force-pinned in pytest + sf0.01 golden value-hash
+def k47(spark, sf):
+    """K47: 2(1+ε)-approximate densest subgraph of the bounded part
+    co-occurrence graph by greedy peeling [PUB: Bahmani, Kumar &
+    Vassilvitskii, VLDB 2012; Charikar 2000] — the dense-cluster
+    extraction primitive (spam/bot rings, community cores). Approximation
+    bound pinned vs a brute-force exact densest subgraph and the planted-
+    clique recovery case in tests/test_round3_ops.py (rows-only driver
+    check: the peeling threshold is a data-dependent scalar per round,
+    not expressible in one SQL pass)."""
+    from pcd_spark.graph import densest_subgraph
+
+    e = part_cooccurrence_edges(spark, sf).filter(
+        (F.col("src") < 2000) & (F.col("dst") < 2000)
+    )
+    return densest_subgraph(e).orderBy("vid")

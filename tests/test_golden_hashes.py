@@ -75,6 +75,7 @@ GOLDEN = {
     "k44_local_community": (100, "a5dcdb0de649870b"),
     "k45_heavy_matching": (2000, "58501a5fa44add6c"),
     "k46_coarsen": (100016, "c0f8c8f64aef7bde"),
+    "k47_densest_subgraph": (2000, "dedf69bd88c09c81"),
 }
 
 

@@ -664,3 +664,69 @@ def test_matching_driver_and_distributed_paths_agree(spark, graphs, name):
     b = sorted(map(tuple,
                    maximal_matching(e, small_graph_cutoff=0).collect()))
     assert a == b
+
+
+# ---- K47 densest subgraph ------------------------------------------------------
+
+
+def _exact_densest_density(n, edges):
+    """Brute-force max over all vertex subsets (n <= 16)."""
+    adj = [(1 << u) | (1 << v) for u, v in edges]
+    best = 0.0
+    for mask in range(3, 1 << n):
+        nv = bin(mask).count("1")
+        if nv < 2:
+            continue
+        ne = sum(1 for a in adj if a & mask == a)
+        best = max(best, ne / nv)
+    return best
+
+
+def test_densest_finds_planted_clique_exactly(spark):
+    """K8 clique + pendant path: the returned set must be exactly the
+    clique, density 28/8."""
+    from pcd_spark.graph import densest_subgraph
+
+    import itertools
+
+    k8 = list(itertools.combinations(range(8), 2))
+    path = [(8 + i, 8 + i + 1) for i in range(5)] + [(0, 8)]
+    stats = {}
+    rows = densest_subgraph(
+        edges_df(spark, k8 + path), stats_out=stats
+    ).collect()
+    assert sorted(r["vid"] for r in rows if r["in_densest"]) == list(range(8))
+    assert stats["density"] == pytest.approx(3.5)
+
+
+@pytest.mark.parametrize("seed", [1, 5, 9])
+def test_densest_meets_approximation_bound(spark, seed):
+    """Bahmani guarantee: returned density >= OPT / (2(1+eps)), OPT by
+    brute force over all subsets of a 13-vertex random graph; and the
+    reported density must equal the returned set's recomputed density."""
+    from pcd_spark.graph import densest_subgraph
+
+    n = 13
+    rng = np.random.RandomState(seed)
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.rand() < 0.35]
+    eps = 0.1
+    stats = {}
+    rows = densest_subgraph(
+        edges_df(spark, edges), eps=eps, stats_out=stats
+    ).collect()
+    got = {r["vid"] for r in rows if r["in_densest"]}
+    ne = sum(1 for u, v in edges if u in got and v in got)
+    dens = ne / len(got)
+    assert dens == pytest.approx(stats["density"])
+    opt = _exact_densest_density(n, edges)
+    assert dens >= opt / (2 * (1 + eps)) - 1e-12, (dens, opt)
+
+
+def test_densest_is_partition_invariant(spark, graphs):
+    from pcd_spark.graph import densest_subgraph
+
+    e = edges_df(spark, graphs["ba_1000"]["edges"])
+    a = sorted(map(tuple, densest_subgraph(e.repartition(2)).collect()))
+    b = sorted(map(tuple, densest_subgraph(e.repartition(16)).collect()))
+    assert a == b
