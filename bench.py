@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "k45_heavy_matching",
     "k46_coarsen",
     "k47_densest_subgraph",
+    "v14_semdedup",
 ]
 
 

@@ -102,7 +102,7 @@ _PRIORITY = [
     # second continuation batch (this session), SQL-oracled, awaiting a
     # future rotation once hash-green:
     "x25_lm_quality", "v12_knn_graph", "x26_segment_dedup_rewrite",
-    "v13_matryoshka_rerank", "x27_source_mixing",
+    "v13_matryoshka_rerank", "x27_source_mixing", "v14_semdedup",
     "f3_global_topk", "g1_union",
     "i8_distinct_users_batch", "j2_blob_digest",
     "x4_ngram_jaccard_pairs", "x17_sequence_packing",

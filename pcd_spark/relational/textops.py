@@ -2761,3 +2761,62 @@ def x27(spark, sf):
             ((F.col("rate") >= 1.0) | (h6 < thr)).alias("kept"),
         )
     )
+
+
+# =========================================================================
+# V14: SemDeDup — semantic dedup via cluster-then-prune
+# =========================================================================
+
+_V14_K = 8      # coarse clusters (scales with corpus size in production)
+_V14_THETA = 0.35  # duplicate threshold on 6-dp rounded cosine (v3's scale)
+
+
+@qt("v14_semdedup", None)  # k-means is iterative: rows-only driver check;
+# numpy-mirrored + golden-hashed in pytest
+def v14(spark, sf):
+    """V14: SemDeDup [PUB: Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"] — k-means the
+    embedding space (v5's deterministic Lloyd engine), then WITHIN each
+    cluster mark every vector that has a same-cluster neighbor with
+    cosine >= {_V14_THETA} and a smaller vec_id as a semantic duplicate
+    (keep-lowest-id, the x14/x26 deterministic keep policy). Output:
+    (vec_id, cluster, kept). This is the semantic complement of x1/x10:
+    exact and MinHash dedup catch verbatim/near-verbatim text; SemDeDup
+    catches paraphrases and re-encodings that share no n-grams.
+
+    Scale shape for 100 TB: the pairwise pass is confined within
+    clusters — the SemDeDup design point: k grows with the corpus so
+    E[cluster size] stays bounded, making the quadratic term
+    O(n²/k) with cluster-keyed shuffles only (never a global n²); the
+    k-means stage itself is the v5 engine (O(k·dim) driver state,
+    map-side-combined updates). Exactness: flags are numpy-mirrored
+    given the cluster assignment, k-means determinism is v5's (pinned
+    there), and the whole output is sf0.01 golden-hashed."""
+    from pcd_spark.vector.kmeans import kmeans
+
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    asg = kmeans(e, k=_V14_K, vec_col="emb", id_col="vec_id")
+    m = e.join(asg, "vec_id").select("vec_id", "emb", "cluster")
+    a = m.select(
+        F.col("vec_id").alias("v1"), F.col("emb").alias("e1"), "cluster"
+    )
+    b = m.select(
+        F.col("vec_id").alias("v2"), F.col("emb").alias("e2"), "cluster"
+    )
+    dups = (
+        a.join(b, ["cluster"])
+        .filter(F.col("v1") < F.col("v2"))
+        .filter(F.round(_cos(F.col("e1"), F.col("e2")), 6) >= _V14_THETA)
+        .select(F.col("v2").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        m.join(dups.withColumn("_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -730,3 +730,53 @@ def test_densest_is_partition_invariant(spark, graphs):
     a = sorted(map(tuple, densest_subgraph(e.repartition(2)).collect()))
     b = sorted(map(tuple, densest_subgraph(e.repartition(16)).collect()))
     assert a == b
+
+
+# ---- V14 SemDeDup --------------------------------------------------------------
+
+
+def test_v14_flags_match_numpy_mirror_given_clusters(spark):
+    """Given the cluster assignment the op itself produced, the keep/drop
+    flags must equal the numpy within-cluster pairwise rule exactly."""
+    from pcd_spark.relational.textops import v14, _V14_THETA
+
+    sf = "/root/testdata/sf0.001"
+    rows = v14(spark, sf).collect()
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), dtype=np.float64)
+            for r in emb.itertuples()}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+    want_dup = set()
+    for mem in by_cluster.values():
+        mem = sorted(mem)
+        for i, v2 in enumerate(mem):
+            for v1 in mem[:i]:
+                a, b = vecs[v1], vecs[v2]
+                c = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+                if c >= _V14_THETA:
+                    want_dup.add(v2)
+                    break
+    got_dup = {r["vec_id"] for r in rows if not r["kept"]}
+    assert got_dup == want_dup
+
+
+def test_v14_drops_planted_identical_vector(spark, tmp_path):
+    """Two byte-identical vectors: the higher vec_id must be dropped, the
+    lower kept, everything else kept (all other cosines are far below the
+    threshold by construction)."""
+    from pcd_spark.relational.textops import v14
+
+    rng = np.random.RandomState(3)
+    n, dim = 40, 16
+    V = rng.randn(n, dim)
+    V[17] = V[4]  # planted duplicate
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in V[i]], int(i % 3)) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = {r["vec_id"]: r["kept"] for r in v14(spark, sf).collect()}
+    assert out[4] is True
+    assert out[17] is False
