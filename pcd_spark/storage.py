@@ -385,3 +385,100 @@ def compact_parquet(
         "files_out": files_out,
         "target_files": n_out,
     }
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> dict:
+    """A12 — Z-order (Morton) clustered parquet write: the multi-column
+    data-skipping layout [PUB: Morton 1966; the technique behind Delta
+    Lake's OPTIMIZE ZORDER BY and Databricks' liquid clustering]. A sort
+    on (a, b) skips scans filtered on `a` but not on `b`; interleaving the
+    bits of both columns' quantized values gives every file a SMALL
+    min/max span on EVERY z-ordered column, so parquet footer stats prune
+    files for predicates on any of them.
+
+    Mechanics: each column is affinely quantized to `bits` bits against
+    its global min/max (ONE agg — deterministic, no sampling), the
+    quantized ints are bit-interleaved into the Morton key with
+    shiftleft/bitwiseOR expressions (pure JVM codegen — no UDF), and the
+    data is range-partitioned + sorted on that key into `n_files` files.
+    At 100 TB the same plan holds: the min/max agg is map-side combined,
+    the range partitioner samples the z-key (Spark's built-in machinery),
+    and each output task writes one locality-tight file.
+
+    Returns {"files": n, "avg_span_fraction": {col: f}} where f is the
+    mean over files of (file min/max span / global span) — the expected
+    fraction of the domain a file covers on that column; an unsorted
+    write scores ~1.0 per column, a single-column sort scores ~1/n on
+    that column and ~1.0 elsewhere, z-order scores well below 1 on ALL
+    z-ordered columns (asserted in tests/test_storage_bucketed.py).
+    """
+    if not (1 <= len(cols) <= 4):
+        raise ValueError("zorder_write: 1-4 cluster columns")
+    mm = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    qs = []
+    for c in cols:
+        mn, mx = mm[f"mn_{c}"], mm[f"mx_{c}"]
+        if mn is None or mx is None:
+            raise ValueError(f"zorder_write: column {c} is all-NULL")
+        span = (mx - mn) or 1.0
+        qs.append(
+            F.least(
+                F.lit(top),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(span)
+                    * F.lit(float(top + 1))
+                ).cast("long"),
+            )
+        )
+    # Morton interleave: output bit (i*len(cols)+j) = bit i of column j
+    zkey = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(qs):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
+            zkey = zkey.bitwiseOR(
+                F.shiftleft(bit, i * len(cols) + j)
+            )
+    (
+        df.withColumn("_z", zkey)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # data-skipping score from the written files' actual min/max spans
+    import os
+
+    spark = df.sparkSession
+    spans: dict[str, list[float]] = {c: [] for c in cols}
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            n += 1
+            part = spark.read.parquet(os.path.join(root, fname))
+            r = part.agg(
+                *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+                *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+            ).first()
+            for c in cols:
+                gspan = (mm[f"mx_{c}"] - mm[f"mn_{c}"]) or 1.0
+                spans[c].append((r[f"mx_{c}"] - r[f"mn_{c}"]) / gspan)
+    return {
+        "files": n,
+        "avg_span_fraction": {
+            c: sum(v) / len(v) if v else 1.0 for c, v in spans.items()
+        },
+    }

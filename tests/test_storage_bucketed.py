@@ -223,3 +223,51 @@ def test_compact_parquet_raises_on_empty_dir(spark, tmp_path):
     empty.mkdir()
     with _pytest.raises(ValueError):
         compact_parquet(spark, str(empty), str(tmp_path / "x"))
+
+
+# ---- A12 z-order clustered write ---------------------------------------------
+
+
+def test_zorder_write_tightens_every_clustered_column(spark, sf_dir, tmp_path):
+    """Data-skipping law: after z-order on (l_orderkey, l_partkey), the
+    average per-file min/max span must shrink well below the ~1.0 of an
+    unsorted write on BOTH columns simultaneously (a plain sort can only
+    do one); content must round-trip exactly."""
+    from pcd_spark.storage import zorder_write
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    # unsorted baseline spans
+    base = str(tmp_path / "plain")
+    df.repartition(8).write.parquet(base)
+    stats = zorder_write(
+        df, str(tmp_path / "z"), ["l_orderkey", "l_partkey"], n_files=16
+    )
+    assert stats["files"] >= 8
+    # the skipping law is on the PRODUCT: the expected fraction of files a
+    # point-range query on BOTH columns touches. Unsorted ~1.0; a single-
+    # column sort ~1/files on one dim x ~1.0 on the other; z-order shrinks
+    # BOTH dims at once, so the product collapses.
+    sp = stats["avg_span_fraction"]
+    assert sp["l_orderkey"] < 0.75 and sp["l_partkey"] < 0.75, stats
+    assert sp["l_orderkey"] * sp["l_partkey"] < 0.2, stats
+    import pyspark.sql.functions as F
+
+    a = spark.read.parquet(str(tmp_path / "z"))
+    assert a.count() == df.count()
+    s1 = a.agg(F.sum("l_quantity")).first()[0]
+    s2 = df.agg(F.sum("l_quantity")).first()[0]
+    assert s1 == s2
+
+
+def test_zorder_write_rejects_bad_inputs(spark):
+    from pcd_spark.storage import zorder_write
+
+    df = spark.range(10).select(
+        "id", F.lit(None).cast("long").alias("x")
+    )
+    with pytest.raises(ValueError):
+        zorder_write(df, "/tmp/never", [])
+    with pytest.raises(ValueError):
+        zorder_write(df, "/tmp/never", ["x"])  # all-NULL column
