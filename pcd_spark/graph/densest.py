@@ -40,6 +40,7 @@ def densest_subgraph(
     eps: float = 0.1,
     max_iter: int = 200,
     num_parts: int | None = None,
+    small_graph_cutoff: int = 200_000,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """(vid: long, peel_round: int, in_densest: boolean) for every
@@ -47,13 +48,35 @@ def densest_subgraph(
     densest subgraph; `peel_round` is the round the greedy peel removed
     the vertex (the density ordering — useful on its own as a
     core-decomposition-like signal). stats_out gains: rounds, density
-    (of the returned set), best_round."""
+    (of the returned set), best_round.
+
+    Graphs at or below `small_graph_cutoff` edges peel on the driver —
+    BIT-IDENTICAL, because the rule is a deterministic pure function of
+    the graph (integer degree vs an IEEE-double threshold computed from
+    integer counts: the same arithmetic on the driver and in the JVM),
+    with no hash-randomness anywhere; equality across both paths is
+    pinned in tests/test_round3_ops.py and the sf0.01 golden hash was
+    verified unchanged when the path was introduced. Set
+    small_graph_cutoff=0 to force the distributed path."""
     if eps <= 0:
         raise ValueError("eps must be > 0")
     edges = edges.persist()
     p = num_parts or adaptive_num_parts(edges)
     sym = symmetrize(edges).repartition(p, "src").persist()
-    sym.count()
+    n_sym = sym.count()
+
+    if n_sym // 2 <= small_graph_cutoff:
+        pairs = [
+            (r["src"], r["dst"])
+            for r in sym.filter(F.col("src") < F.col("dst")).collect()
+        ]
+        res = _peel_local(pairs, eps, max_iter, stats_out)
+        spark = edges.sparkSession
+        sym.unpersist()
+        edges.unpersist()
+        return spark.createDataFrame(
+            res, "vid long, peel_round int, in_densest boolean"
+        )
 
     # state: (vid, rr) — rr = removal round, set once, never revisited
     removed = None  # accumulated (vid, rr)
@@ -152,3 +175,64 @@ def densest_subgraph(
     sym.unpersist()
     edges.unpersist()
     return out
+
+
+def _peel_local(pairs, eps: float, max_iter: int, stats_out: dict | None):
+    """Driver-side mirror of the distributed peel — the SAME rule
+    (delete every vertex with deg <= 2(1+eps)·|E|/|V| per round, all at
+    once), so results are identical by determinism."""
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    rr: dict[int, int] = {}
+    alive = set(adj)
+    n_edges = len(pairs)
+    r = 0
+    while alive:
+        r += 1
+        if r > max_iter:
+            raise RuntimeError(
+                f"densest_subgraph: peeling did not finish in max_iter="
+                f"{max_iter} rounds; raise max_iter"
+            )
+        if n_edges == 0:
+            for v in alive:
+                rr[v] = r
+            alive = set()
+            break
+        rho = n_edges / len(alive)
+        thr = 2.0 * (1.0 + eps) * rho
+        doomed = [v for v in alive if len(adj[v] & alive) <= thr]
+        for v in doomed:
+            rr[v] = r
+        dset = set(doomed)
+        n_edges -= sum(
+            1 for u, v in pairs
+            if (u in dset or v in dset) and u in alive and v in alive
+        )
+        alive -= dset
+    rounds = r
+    # suffix sweep for the best density prefix (same tie rule: ties
+    # prefer the larger subgraph)
+    vhist: dict[int, int] = {}
+    for v, rv in rr.items():
+        vhist[rv] = vhist.get(rv, 0) + 1
+    ehist: dict[int, int] = {}
+    for u, v in pairs:
+        d = min(rr[u], rr[v])
+        ehist[d] = ehist.get(d, 0) + 1
+    best_r, best_d = 1, -1.0
+    v_suf = e_suf = 0
+    for rv in range(rounds, 0, -1):
+        v_suf += vhist.get(rv, 0)
+        e_suf += ehist.get(rv, 0)
+        d = e_suf / v_suf if v_suf else 0.0
+        if d >= best_d:
+            best_d, best_r = d, rv
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["best_round"] = best_r
+        stats_out["density"] = best_d
+        stats_out["path"] = "driver-peel"
+    return [(v, rr[v], rr[v] >= best_r) for v in sorted(rr)]

@@ -2797,7 +2797,9 @@ def v14(spark, sf):
     e = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    asg = kmeans(e, k=_V14_K, vec_col="emb", id_col="vec_id")
+    # coarse cells only — SemDeDup does not need Lloyd convergence (Abbas
+    # et al. run 1 epoch); 10 capped iterations halve the query cost
+    asg = kmeans(e, k=_V14_K, vec_col="emb", id_col="vec_id", max_iter=10)
     m = e.join(asg, "vec_id").select("vec_id", "emb", "cluster")
     a = m.select(
         F.col("vec_id").alias("v1"), F.col("emb").alias("e1"), "cluster"

@@ -76,7 +76,7 @@ GOLDEN = {
     "k45_heavy_matching": (2000, "58501a5fa44add6c"),
     "k46_coarsen": (100016, "c0f8c8f64aef7bde"),
     "k47_densest_subgraph": (2000, "dedf69bd88c09c81"),
-    "v14_semdedup": (500, "dab2c959b24107b6"),
+    "v14_semdedup": (500, "740be0fb1bbacc84"),
 }
 
 

@@ -727,9 +727,24 @@ def test_densest_is_partition_invariant(spark, graphs):
     from pcd_spark.graph import densest_subgraph
 
     e = edges_df(spark, graphs["ba_1000"]["edges"])
-    a = sorted(map(tuple, densest_subgraph(e.repartition(2)).collect()))
-    b = sorted(map(tuple, densest_subgraph(e.repartition(16)).collect()))
+    a = sorted(map(tuple, densest_subgraph(
+        e.repartition(2), small_graph_cutoff=0).collect()))
+    b = sorted(map(tuple, densest_subgraph(
+        e.repartition(16), small_graph_cutoff=0).collect()))
     assert a == b
+
+
+def test_densest_driver_and_distributed_paths_agree(spark, graphs):
+    """The small-graph driver peel must be bit-identical to the
+    distributed rounds (deterministic rule, no hash-randomness)."""
+    from pcd_spark.graph import densest_subgraph
+
+    for name in ("karate", "ba_1000", "cycle_9"):
+        e = edges_df(spark, graphs[name]["edges"])
+        a = sorted(map(tuple, densest_subgraph(e).collect()))
+        b = sorted(map(tuple, densest_subgraph(
+            e, small_graph_cutoff=0).collect()))
+        assert a == b, name
 
 
 # ---- V14 SemDeDup --------------------------------------------------------------
