@@ -58,10 +58,9 @@ _PRIORITY = [
     "b1_project_cast",
     # C. joins (broadcast/SHJ/theta/range/as-of -> driver-green, pytest
     # mirror); c12-c14 = the declarative subquery surface (new this batch)
-    "c1_join_inner_agg", "c11_null_safe_join",
+    "c11_null_safe_join",
     "c12_exists_subquery", "c13_not_in_subquery", "c14_scalar_subquery",
     # D. aggregation (d2/d3/d4 -> round-1 green, pytest mirror)
-    "d1_groupby_agg", "d6_deterministic_argmax",
     "d11_group_percentiles", "d12_grouped_stats",
     "d13_pivot", "d14_unpivot", "d15_heavy_hitters",
     # E. windows (e1..e5 -> driver-green, pytest mirror)
@@ -82,9 +81,11 @@ _PRIORITY = [
     "x19_source_quality_gate",
     "x20_boilerplate_grams", "x21_word_entropy",
     "x22_containment_pairs", "x23_tfidf_topk",
-    "x24_shared_spans",
+    "x24_shared_spans", "x25_lm_quality", "x26_segment_dedup_rewrite",
+    "x27_source_mixing",
     # V. similarity search (v1/v2/v3 -> driver-green, pytest mirror)
-    "v4_ivf_topk", "v8_cosine_range", "v9_sq8_topk", "v11_ann_recall",
+    "v8_cosine_range", "v9_sq8_topk", "v11_ann_recall",
+    "v13_matryoshka_rerank",
     # M. multimodal
     "m3_frame_sample",
     # K. graph (SQL-oracled rows; iterative k3/k5/k8/k10/k13+ are
@@ -101,8 +102,9 @@ _PRIORITY = [
     # all-entries pytest mirror and scripts/preflight.py --all each round)
     # second continuation batch (this session), SQL-oracled, awaiting a
     # future rotation once hash-green:
-    "x25_lm_quality", "v12_knn_graph", "x26_segment_dedup_rewrite",
-    "v13_matryoshka_rerank", "x27_source_mixing", "v14_semdedup",
+    "v12_knn_graph", "v14_semdedup",
+    "c1_join_inner_agg", "d1_groupby_agg", "d6_deterministic_argmax",
+    "v4_ivf_topk",
     "f3_global_topk", "g1_union",
     "i8_distinct_users_batch", "j2_blob_digest",
     "x4_ngram_jaccard_pairs", "x17_sequence_packing",
