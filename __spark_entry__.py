@@ -6,9 +6,11 @@ entry(spark)  — flagship: derive the customer–supplier interaction graph fro
 queries()     — one entry per implemented operator from SURVEY.md §2
                 (relational surface B–H incl. the C12–C14 subquery forms,
                 E8/G5, H11/H12 generators, D15 heavy hitters, streaming
-                batch twins, text/dedup/similarity/vector ops X1–X24 /
-                V1–V11, multimodal, graph algorithms K1–K44 incl. K40
-                ARI/NMI agreement and K41 rich club), each
+                batch twins, text/dedup/similarity/vector ops X1–X27 /
+                V1–V14 incl. X26 segment-dedup rewrite, X27 source mixing,
+                V13 Matryoshka re-rank and V14 SemDeDup, multimodal, graph
+                algorithms K1–K47 incl. K45 heavy-edge matching, K46
+                coarsening and K47 densest subgraph), each
                 (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent ANSI SQL per query where expressible;
                 iterative-to-convergence algorithms (PageRank/LPA) and the
