@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "k46_coarsen",
     "k47_densest_subgraph",
     "v14_semdedup",
+    "x28_curation_pipeline",
 ]
 
 

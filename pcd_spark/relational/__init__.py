@@ -102,7 +102,7 @@ _PRIORITY = [
     # all-entries pytest mirror and scripts/preflight.py --all each round)
     # second continuation batch (this session), SQL-oracled, awaiting a
     # future rotation once hash-green:
-    "v12_knn_graph", "v14_semdedup",
+    "v12_knn_graph", "v14_semdedup", "x28_curation_pipeline",
     "c1_join_inner_agg", "d1_groupby_agg", "d6_deterministic_argmax",
     "v4_ivf_topk",
     "f3_global_topk", "g1_union",

@@ -2822,3 +2822,107 @@ def v14(spark, sf):
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# =========================================================================
+# X28: end-to-end curation pipeline (composition capstone)
+# =========================================================================
+
+_X28_SQL = f"""
+WITH x26 AS ({_X26_SQL}),
+rw AS (SELECT x26.doc_id, d.source, x26.n_segments, x26.n_dropped,
+              x26.kept_text,
+              len(string_split(x26.kept_text, ' ')) AS ntok
+       FROM x26 JOIN documents d USING (doc_id)),
+gated AS (SELECT * FROM rw
+          WHERE ntok >= 10
+            AND (n_segments = 0 OR n_dropped * 2 <= n_segments)),
+s AS (SELECT source, CAST(SUM(ntok) AS DOUBLE) AS stok
+      FROM gated GROUP BY source),
+g AS (SELECT SUM(stok) AS tot, SUM(SQRT(stok)) AS z FROM s),
+r AS (SELECT source,
+             ROUND(LEAST(1.0,
+               {_X27_BUDGET} * g.tot * (SQRT(s.stok) / g.z) / s.stok), 6)
+               AS rate
+      FROM s, g),
+mixed AS (SELECT gated.*, r.rate FROM gated JOIN r USING (source)
+          WHERE r.rate >= 1.0
+             OR substring(md5('mix1-' || CAST(doc_id AS VARCHAR)), 1, 6)
+                < printf('%06x', CAST(ROUND(r.rate * 16777216, 0) AS BIGINT)))
+SELECT doc_id, source,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+              THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(ntok AS BIGINT) AS n_tokens_kept
+FROM mixed
+"""
+
+
+@qt("x28_curation_pipeline", _X28_SQL)
+def x28(spark, sf):
+    """X28: the full curation pipeline as ONE declarative plan — segment
+    dedup rewrite (x26) → post-rewrite quality gate (>=10 surviving
+    tokens AND at most half the segments dropped) → temperature-scaled
+    source mixing over the SURVIVORS' token mass (x27's rule — rates
+    reflect what actually remains after dedup+gating, the order a real
+    pipeline uses) → x15 split assignment. Output: (doc_id, source,
+    split, n_tokens_kept) for every surviving doc. This is the
+    composition capstone: a reference user's end-to-end corpus build is
+    one queries() entry, one Catalyst plan, one DuckDB-checkable result.
+
+    Scale shape inherits from its stages — the only corpus-sized
+    shuffles are x26's digest-keyed winner agg and the doc_id-keyed
+    reconstruction join; the mixing stats are O(sources) and broadcast;
+    gate and split are stateless per-row. Every stage's exactness is
+    already pinned individually (x26/x27/x15 driver rows + pytest); this
+    query pins the COMPOSITION cross-engine."""
+    rewritten = x26(spark, sf)
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    rw = rewritten.join(d, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_segments",
+        "n_dropped",
+        F.size(F.split("kept_text", " ")).alias("ntok"),
+    )
+    gated = rw.filter(
+        (F.col("ntok") >= 10)
+        & ((F.col("n_segments") == 0)
+           | (F.col("n_dropped") * 2 <= F.col("n_segments")))
+    )
+    s = gated.groupBy("source").agg(
+        F.sum(F.col("ntok").cast("double")).alias("stok")
+    )
+    g = s.agg(F.sum("stok").alias("tot"), F.sum(F.sqrt("stok")).alias("z"))
+    r = s.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(_X27_BUDGET) * F.col("tot")
+                * (F.sqrt("stok") / F.col("z")) / F.col("stok"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    thr = F.format_string(
+        "%06x", F.round(F.col("rate") * 16777216, 0).cast("long")
+    )
+    h6 = F.substring(
+        F.md5(F.concat(F.lit("mix1-"), F.col("doc_id").cast("string"))), 1, 6
+    )
+    mixed = gated.join(F.broadcast(r), "source").filter(
+        (F.col("rate") >= 1.0) | (h6 < thr)
+    )
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return mixed.select(
+        "doc_id",
+        "source",
+        F.when(h2 < "e6", "train")
+        .when(h2 < "f3", "val")
+        .otherwise("test")
+        .alias("split"),
+        F.col("ntok").cast("long").alias("n_tokens_kept"),
+    )
