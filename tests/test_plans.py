@@ -94,7 +94,15 @@ PLAN_SWEEP = [
     # (cost = sum of squared bucket sizes, never n^2) and the top-k window
     # partitions by src
     "v12_knn_graph",
+    # third continuation batch: x26's winner agg + reconstruction join
+    # must stay equi hash joins with no per-row Python
+    "x26_segment_dedup_rewrite",
 ]
+# x27/x28 crossJoin a ONE-ROW global-stats frame (broadcast nested loop
+# with a literal-sized build side — the intended scalar-distribution
+# form) and v13's probe screen is v1's broadcast-probes scan; all three
+# get dedicated BuildLeft/BuildRight assertions below instead of the
+# sweep's blanket no-BNLJ rule.
 # v10_mmr_rerank candidate generation IS v1's broadcast-probes scan — it
 # shares v1's sweep exemption and gets the same dedicated BuildLeft
 # assertion (test_v10_mmr_streams_big_side) instead. v11_ann_recall
@@ -260,3 +268,29 @@ def test_small_dimensions_broadcast(spark, sf_dir):
         "BroadcastHashJoin"
     ) >= 2
     assert "BroadcastHashJoin" in _plan(spark, sf_dir, "x12_decontamination")
+
+
+def test_v13_screen_broadcasts_probes_only(spark, sf_dir):
+    """v13's stage-1 screen is v1's exemption shape: the 5-probe set must
+    be the broadcast build side of the nested-loop join so the prefix
+    candidates stream; the stage-2 rerank must be equi hash joins on
+    vec_id/probe_id (broadcast candidates), and nothing row-wise Python."""
+    plan = _plan(spark, sf_dir, "v13_matryoshka_rerank")
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["x27_source_mixing", "x28_curation_pipeline"]
+)
+def test_mixing_broadcasts_scalar_stats(spark, sf_dir, name):
+    """x27/x28 distribute ONE row of global stats (tot, z) by a broadcast
+    nested loop — the intended scalar-distribution plan; the per-source
+    rate table must reach the docs through a broadcast HASH join, and no
+    per-row Python anywhere."""
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
