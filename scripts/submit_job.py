@@ -25,7 +25,8 @@ def main() -> None:
                              "scc", "hyperball", "harmonic", "betweenness",
                              "ktruss", "coreness", "mis", "projection",
                              "butterflies", "coloring", "katz", "condense",
-                             "scan", "local-community"])
+                             "scan", "local-community", "matching",
+                             "coarsen", "densest"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -141,6 +142,22 @@ def main() -> None:
         from pcd_spark.graph import scan_similarity
 
         res = scan_similarity(edges)
+    elif args.algo == "matching":
+        from pcd_spark.graph import maximal_matching
+
+        res = maximal_matching(edges, max_iter=args.max_iter,
+                               store=store, stats_out=stats)
+    elif args.algo == "coarsen":
+        from pcd_spark.graph import coarsen_graph, maximal_matching
+
+        m = maximal_matching(edges, max_iter=args.max_iter,
+                             store=store, stats_out=stats)
+        res = coarsen_graph(edges, m)
+    elif args.algo == "densest":
+        from pcd_spark.graph import densest_subgraph
+
+        res = densest_subgraph(edges, max_iter=args.max_iter,
+                               stats_out=stats)
     elif args.algo == "local-community":
         from pcd_spark.graph import local_community
 

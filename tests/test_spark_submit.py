@@ -80,3 +80,41 @@ def test_spark_submit_pyfiles_cc_and_condense(tmp_path):
         f"SELECT vid, component, level FROM read_parquet('{cd_out}/*.parquet')"
     ).fetchall()
     assert sorted(rows) == [(0, 0, 0), (1, 0, 0), (2, 2, 1), (3, 2, 1)]
+
+
+def test_submit_cli_matching_and_densest(tmp_path):
+    """Drive the new --algo paths through the CLI as a plain python
+    subprocess (the spark-submit packaging itself is covered above):
+    matching on the bridged-triangles graph must be a perfect matching;
+    densest on a planted clique must return exactly the clique."""
+    snap = tmp_path / "g.txt"
+    snap.write_text("0 1\n1 2\n0 2\n3 4\n4 5\n3 5\n2 3\n7 8\n")
+    env = {**os.environ, "PYTHONPATH": REPO}
+
+    def run(algo, out):
+        cmd = [sys.executable, os.path.join(REPO, "scripts", "submit_job.py"),
+               "--algo", algo, "--snap", str(snap), "--out", out]
+        p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           cwd=str(tmp_path), timeout=600)
+        assert p.returncode == 0, p.stderr[-3000:]
+
+    m_out = str(tmp_path / "m_out")
+    run("matching", m_out)
+    rows = duckdb.sql(
+        f"SELECT vid, matched, partner FROM read_parquet('{m_out}/*.parquet')"
+    ).fetchall()
+    partner = {v: p for v, _m, p in rows}
+    assert all(m for _v, m, _p in rows)  # perfect matching on this graph
+    assert all(partner[partner[v]] == v for v in partner)
+
+    # K8 clique + pendant path
+    import itertools
+    lines = [f"{u} {v}" for u, v in itertools.combinations(range(8), 2)]
+    lines += [f"{8+i} {8+i+1}" for i in range(5)] + ["0 8"]
+    snap.write_text("\n".join(lines) + "\n")
+    d_out = str(tmp_path / "d_out")
+    run("densest", d_out)
+    dens = sorted(v for v, _r, ind in duckdb.sql(
+        f"SELECT vid, peel_round, in_densest FROM read_parquet('{d_out}/*.parquet')"
+    ).fetchall() if ind)
+    assert dens == list(range(8))
