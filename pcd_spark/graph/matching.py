@@ -250,10 +250,18 @@ def coarsen_graph(
         w.alias("w"),
     )
     return (
+        # left joins + coalesce: a vertex absent from the matching table
+        # (e.g. edges added after the matching ran) maps to itself rather
+        # than silently dropping its edges
         e.join(vmap.withColumnRenamed("vid", "src")
-               .withColumnRenamed("sv", "ssv"), "src")
+               .withColumnRenamed("sv", "ssv"), "src", "left")
         .join(vmap.withColumnRenamed("vid", "dst")
-              .withColumnRenamed("sv", "dsv"), "dst")
+              .withColumnRenamed("sv", "dsv"), "dst", "left")
+        .select(
+            F.coalesce("ssv", F.col("src")).alias("ssv"),
+            F.coalesce("dsv", F.col("dst")).alias("dsv"),
+            "w",
+        )
         .filter(F.col("ssv") != F.col("dsv"))
         .select(
             F.least("ssv", "dsv").alias("src"),

@@ -2442,7 +2442,8 @@ _X26_W = 12  # words per segment (stands in for newline-split lines here)
 
 
 _X26_SQL = f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+WITH d AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words
+     FROM documents),
 seg AS (SELECT doc_id, i,
           md5(array_to_string(
             list_slice(words, (i - 1) * {_X26_W} + 1,
@@ -2501,7 +2502,10 @@ def x26(spark, sf):
     """
     W = _X26_W
     d = load(spark, sf, "documents").select(
-        "doc_id", F.split("text", " ").alias("words")
+        "doc_id",
+        # NULL text would poison F.size (-1) downstream; both engines
+        # treat it as the empty doc
+        F.split(F.coalesce("text", F.lit("")), " ").alias("words"),
     )
     n_full = F.floor(F.size("words") / W).cast("int")
     segs = (

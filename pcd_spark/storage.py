@@ -457,27 +457,29 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
-    # data-skipping score from the written files' actual min/max spans
-    import os
-
+    # data-skipping score from the written files' actual min/max spans —
+    # ONE job grouped by input_file_name (O(files) result rows), not a
+    # per-file driver loop
     spark = df.sparkSession
-    spans: dict[str, list[float]] = {c: [] for c in cols}
-    n = 0
-    for root, _dirs, files in os.walk(path):
-        for fname in files:
-            if not fname.endswith(".parquet"):
-                continue
-            n += 1
-            part = spark.read.parquet(os.path.join(root, fname))
-            r = part.agg(
-                *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
-                *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
-            ).first()
-            for c in cols:
-                gspan = (mm[f"mx_{c}"] - mm[f"mn_{c}"]) or 1.0
-                spans[c].append((r[f"mx_{c}"] - r[f"mn_{c}"]) / gspan)
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(
+            *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+        )
+        .collect()
+    )
+    spans = {
+        c: [
+            (r[f"mx_{c}"] - r[f"mn_{c}"])
+            / ((mm[f"mx_{c}"] - mm[f"mn_{c}"]) or 1.0)
+            for r in rows
+        ]
+        for c in cols
+    }
     return {
-        "files": n,
+        "files": len(rows),
         "avg_span_fraction": {
             c: sum(v) / len(v) if v else 1.0 for c, v in spans.items()
         },

@@ -795,3 +795,16 @@ def test_v14_drops_planted_identical_vector(spark, tmp_path):
     out = {r["vec_id"]: r["kept"] for r in v14(spark, sf).collect()}
     assert out[4] is True
     assert out[17] is False
+
+
+def test_coarsen_maps_unmatched_outsider_vertices_to_themselves(spark):
+    """An edge touching a vertex the matching never saw (grown graph)
+    must survive contraction mapped to itself, not vanish."""
+    from pcd_spark.graph import coarsen_graph, maximal_matching
+
+    e = edges_df(spark, [(1, 2)])
+    m = maximal_matching(e)
+    grown = edges_df(spark, [(1, 2), (2, 9)])  # 9 unknown to the matching
+    rows = {(r["src"], r["dst"]): r["weight"]
+            for r in coarsen_graph(grown, m).collect()}
+    assert rows == {(1, 9): 1.0}
