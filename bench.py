@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "k47_densest_subgraph",
     "v14_semdedup",
     "x28_curation_pipeline",
+    "k48_doulion_triangles",
 ]
 
 

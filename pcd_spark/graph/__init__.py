@@ -7,7 +7,7 @@ from pcd_spark.graph.edges import (  # noqa: F401
 from pcd_spark.graph.pagerank import pagerank  # noqa: F401
 from pcd_spark.graph.cc import connected_components  # noqa: F401
 from pcd_spark.graph.lpa import label_propagation  # noqa: F401
-from pcd_spark.graph.triangles import triangle_counts  # noqa: F401
+from pcd_spark.graph.triangles import triangle_counts, approx_triangle_total  # noqa: F401
 from pcd_spark.graph.quality import (  # noqa: F401
     conductance_terms,
     local_clustering,

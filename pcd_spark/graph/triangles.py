@@ -116,3 +116,53 @@ def triangle_total(edges: DataFrame) -> int:
     """Global triangle count."""
     row = triangle_counts(edges).agg((F.sum("tri") / 3).cast("long").alias("t")).first()
     return int(row["t"] or 0)
+
+
+def approx_triangle_total(
+    edges: DataFrame,
+    p_num: int = 1,
+    p_den: int = 4,
+    seed: int = 42,
+) -> dict:
+    """K48 — DOULION approximate GLOBAL triangle count [PUB: Tsourakakis,
+    Kang, Miller & Faloutsos, KDD 2009 "DOULION: counting triangles in
+    massive graphs with a coin"]: keep each canonical edge with
+    probability p = p_num/p_den, count triangles EXACTLY on the sparsified
+    graph, return T_sparse / p³ — an unbiased estimator whose variance
+    vanishes on triangle-rich graphs while the expensive oriented-wedge
+    join runs on a p²-smaller wedge set (p=1/4 → 16× fewer wedges, the
+    regime where exact K6 at 10^12 edges stops being affordable).
+
+    The coin is the engine's hash-random discipline: an edge survives iff
+    `pmod(xxhash64(src, dst, seed), p_den) < p_num` — a pure function of
+    the edge, so the estimate is ONE number at any parallelism/partition
+    count (pinned by golden hash), reproducible across reruns, and the
+    sample composes with resume. p_num == p_den degenerates to the exact
+    count (identity pinned in tests).
+
+    Returns {"estimate": float, "sampled_triangles": int,
+    "sampled_edges": int, "p": float}.
+    """
+    if not (0 < p_num <= p_den):
+        raise ValueError("need 0 < p_num <= p_den")
+    canon = canonical_undirected(edges)
+    if p_num < p_den:
+        canon = canon.filter(
+            F.pmod(
+                F.xxhash64(F.col("src"), F.col("dst"), F.lit(seed)),
+                F.lit(p_den),
+            )
+            < p_num
+        )
+    canon = canon.persist()
+    n_e = canon.count()
+    tri = triangle_counts(canon)
+    t_sparse = int(tri.agg((F.sum("tri") / 3).cast("long")).first()[0] or 0)
+    canon.unpersist()
+    p = p_num / p_den
+    return {
+        "estimate": t_sparse / (p ** 3),
+        "sampled_triangles": t_sparse,
+        "sampled_edges": n_e,
+        "p": p,
+    }

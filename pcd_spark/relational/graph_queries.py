@@ -1512,3 +1512,24 @@ def k47(spark, sf):
         (F.col("src") < 2000) & (F.col("dst") < 2000)
     )
     return densest_subgraph(e).orderBy("vid")
+
+
+@g("k48_doulion_triangles", None)  # hash-coin sample: xxhash64 not in SQL;
+# identity/error-band pinned in pytest + sf0.01 golden value-hash
+def k48(spark, sf):
+    """K48: DOULION approximate global triangle count on the part
+    co-occurrence graph at p=1/4 [PUB: Tsourakakis et al. KDD 2009] —
+    the 10^12-edge scale path where even K6's oriented-wedge join stops
+    being affordable: the wedge set shrinks by p², the estimator
+    T_sparse/p³ is unbiased, and the hash coin makes the estimate ONE
+    reproducible number at any parallelism. K6 is the exactness
+    baseline; identity at p=1 and the error band are pinned in
+    tests/test_round3_ops.py."""
+    from pcd_spark.graph import approx_triangle_total
+
+    r = approx_triangle_total(part_cooccurrence_edges(spark, sf))
+    return spark.createDataFrame(
+        [(float(r["estimate"]), int(r["sampled_triangles"]),
+          int(r["sampled_edges"]), float(r["p"]))],
+        "estimate double, sampled_triangles long, sampled_edges long, p double",
+    )

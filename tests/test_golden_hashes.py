@@ -77,6 +77,7 @@ GOLDEN = {
     "k46_coarsen": (100016, "c0f8c8f64aef7bde"),
     "k47_densest_subgraph": (2000, "dedf69bd88c09c81"),
     "v14_semdedup": (500, "740be0fb1bbacc84"),
+    "k48_doulion_triangles": (1, "238da8db3794057f"),
 }
 
 

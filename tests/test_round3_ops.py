@@ -808,3 +808,27 @@ def test_coarsen_maps_unmatched_outsider_vertices_to_themselves(spark):
     rows = {(r["src"], r["dst"]): r["weight"]
             for r in coarsen_graph(grown, m).collect()}
     assert rows == {(1, 9): 1.0}
+
+
+# ---- K48 DOULION approximate triangles ------------------------------------------
+
+
+def test_doulion_identity_at_p_one_and_bounded_error_at_quarter(spark, graphs):
+    """p=1 must equal the exact count; p=1/4 on the fixed hash coin must
+    land within 20% of exact on these seeds (deterministic sample, so the
+    pin is stable), and the estimate must be invariant to input
+    partitioning."""
+    from pcd_spark.graph import approx_triangle_total
+
+    g = nx.barabasi_albert_graph(2000, 8, seed=5)
+    exact = sum(nx.triangles(g).values()) // 3
+    e = edges_df(spark, list(g.edges()))
+    rx = approx_triangle_total(e, p_num=1, p_den=1)
+    assert rx["sampled_triangles"] == exact
+    assert rx["estimate"] == float(exact)
+    r1 = approx_triangle_total(e.repartition(2))
+    r2 = approx_triangle_total(e.repartition(16))
+    assert r1 == r2
+    assert abs(r1["estimate"] - exact) / exact < 0.2
+    with pytest.raises(ValueError):
+        approx_triangle_total(e, p_num=0)
