@@ -271,3 +271,28 @@ def test_zorder_write_rejects_bad_inputs(spark):
         zorder_write(df, "/tmp/never", [])
     with pytest.raises(ValueError):
         zorder_write(df, "/tmp/never", ["x"])  # all-NULL column
+
+
+# ---- A13 incremental snapshot read ---------------------------------------------
+
+
+def test_corpus_table_incremental_read_returns_exactly_the_delta(spark, tmp_path):
+    """Two commits: the incremental read between them must return exactly
+    the appended rows (by identity key), with full payload columns."""
+    from pcd_spark.storage import CorpusTable
+
+    t = CorpusTable(str(tmp_path / "tbl"), partition_by="lang")
+    base = [("r1", "a.py", "c1", "py", "x = 1"),
+            ("r1", "b.py", "c1", "py", "y = 2")]
+    extra = [("r2", "c.py", "c2", "py", "z = 3"),
+             ("r1", "a.py", "c9", "py", "x = 10")]  # new commit of a.py
+    schema = "repo string, path string, commit string, lang string, content string"
+    s0 = t.commit(spark.createDataFrame(base, schema), note="base")
+    s1 = t.commit(spark.createDataFrame(base + extra, schema), note="append")
+    got = sorted(
+        (r["repo"], r["path"], r["commit"], r["content"])
+        for r in t.read_appended(spark, s0, s1).collect()
+    )
+    assert got == [("r1", "a.py", "c9", "x = 10"), ("r2", "c.py", "c2", "z = 3")]
+    # full read still sees the complete end snapshot
+    assert t.read(spark, s1).count() == 4
