@@ -24,6 +24,7 @@ imports, rest cross-repo biased to low repo ids (hubs → exercises salting);
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -233,9 +234,21 @@ def derive_edges(
     src_side.count()
     latest.unpersist()
 
-    # Resolution winner depends only on (src_repo, module) — resolve once on
-    # the distinct pairs, then join the per-statement rows back (keeps
-    # duplicate statements for weighting without window-over-duplicates).
+    edges = _resolve_edges(src_side, index)
+    return verts, edges
+
+
+def _resolve_edges(src_side: DataFrame, index: DataFrame) -> DataFrame:
+    """Shared K8 resolution kernel: per-statement imports
+    (src, src_repo, module) × module index (vid, repo, module) →
+    weighted directed edges (src, dst, weight).
+
+    Resolution winner depends only on (src_repo, module) — resolve once on
+    the distinct pairs, then join the per-statement rows back (keeps
+    duplicate statements for weighting without window-over-duplicates).
+    Used by both the full derivation (derive_edges / derive_graph) and the
+    incremental one (derive_edges_incremental), so the two paths can never
+    drift on the preference rule."""
     pairs = src_side.select("src_repo", "module").distinct()
     cand = pairs.join(
         index.select(
@@ -257,12 +270,182 @@ def derive_edges(
         .select("src_repo", "module", "dst")
     )
     resolved = src_side.join(res_map, ["src_repo", "module"]).select("src", "dst")
-    edges = (
+    return (
         resolved.filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("weight"))
     )
-    return verts, edges
+
+
+class DerivedGraph(NamedTuple):
+    """K8b durable graph state — what a production deployment keeps between
+    corpus snapshots so the NEXT snapshot is processed incrementally
+    (A13 `CorpusTable.read_appended` supplies the delta).
+
+    All four tables are NARROW (no `content` column): at 100 TB of corpus,
+    this state is O(files + edges + import statements) of metadata — the
+    only thing that ever scans content is the delta itself.
+
+    verts:   (vid, repo, path)        — vid = xxhash64(repo, path), stable
+                                        across snapshots by construction
+    edges:   (src, dst, weight)       — the K8 import graph
+    imports: (repo, path, module)     — one row per latest-commit import
+                                        statement (duplicates = weight)
+    files:   (repo, path, commit)     — latest commit per file; the
+                                        monotonicity ledger the incremental
+                                        path compares deltas against
+    """
+
+    verts: DataFrame
+    edges: DataFrame
+    imports: DataFrame
+    files: DataFrame
+
+
+def derive_graph(corpus: DataFrame) -> DerivedGraph:
+    """K8b: full derivation returning the durable state (DerivedGraph) that
+    derive_edges_incremental consumes. Edge/vertex output is identical to
+    `derive_edges(corpus)` (pinned in tests) — this variant additionally
+    surfaces the narrow `imports` and `files` tables a deployment persists
+    alongside the graph."""
+    latest = latest_commits(corpus).persist()
+    verts = vertex_dictionary_prod(latest)
+    index = verts.select("vid", "repo", _module_expr().alias("module"))
+    imports = extract_imports(latest).persist()
+    files = latest.select("repo", "path", "commit").persist()
+    # materialize the two content-derived projections, then release the
+    # full-corpus cache (same discipline as derive_edges)
+    imports.count()
+    files.count()
+    latest.unpersist()
+    src_side = imports.join(
+        verts.select(F.col("vid").alias("src"), "repo", "path"),
+        ["repo", "path"],
+    ).select("src", F.col("repo").alias("src_repo"), "module")
+    edges = _resolve_edges(src_side, index)
+    return DerivedGraph(verts, edges, imports, files)
+
+
+def derive_edges_incremental(
+    prev: DerivedGraph, corpus_delta: DataFrame, max_rounds: int = 4
+) -> DerivedGraph:
+    """K8b incremental edge derivation: update the durable graph state from
+    an A13 snapshot delta (`CorpusTable.read_appended`) WITHOUT rescanning
+    the old corpus.
+
+    This is the batch-snapshot twin of the A6/I7 streaming loop and the
+    whole point of keeping DerivedGraph narrow: at 10^12 files, a daily
+    append of 10^8 rows costs one scan of the APPENDED content plus
+    metadata-sized joins — never a scan of the 100 TB already processed.
+
+    Correctness rule (pinned equal to a cold `derive_graph` on the end
+    snapshot in tests):
+      1. A delta row wins over the ledger only if its commit is strictly
+         later under the engine's E1 rule (lexicographically greatest
+         commit per (repo, path)); out-of-order appends are ignored exactly
+         as latest_commits would ignore them.
+      2. Brand-new files get xxhash64 vids; on (astronomically rare)
+         collision they are salted-rehashed while PREVIOUS vids stay fixed
+         — vid stability across snapshots is the contract that lets edges
+         and algorithm checkpoints survive the append (pagerank resume).
+      3. Out-edges are recomputed for every AFFECTED source file: files in
+         the delta, plus files with ≥1 import statement on a module whose
+         candidate set changed (a new file adds an index entry and may
+         shadow a previously cross-repo resolution — the same-repo
+         preference can flip). Everything else keeps its previous edges.
+
+    Scale shape: one O(delta) window, one O(delta) regex extraction, and a
+    handful of hash joins keyed on (repo, path) / module / vid over the
+    narrow state tables. No content column ever crosses a shuffle.
+    """
+    delta_latest = latest_commits(corpus_delta)
+    take = (
+        delta_latest.join(
+            prev.files.select(
+                "repo", "path", F.col("commit").alias("_prev_commit")
+            ),
+            ["repo", "path"],
+            "left",
+        )
+        .filter(
+            F.col("_prev_commit").isNull()
+            | (F.col("commit") > F.col("_prev_commit"))
+        )
+        .persist()
+    )
+    new_files = take.filter(F.col("_prev_commit").isNull()).select("repo", "path")
+    affected = take.select("repo", "path")  # one row per file (E1 window)
+
+    # vids for brand-new files: xxhash64, salted re-hash on collision —
+    # with prev.verts held FIXED (stability contract, docstring item 2)
+    newv = new_files.select(
+        F.xxhash64("repo", "path").alias("vid"), "repo", "path"
+    ).persist()
+    for rnd in range(1, max_rounds + 1):
+        dup_within = (
+            newv.groupBy("vid").count().filter(F.col("count") > 1).select("vid")
+        )
+        dup_prev = newv.join(prev.verts.select("vid"), "vid", "left_semi").select(
+            "vid"
+        )
+        bad = dup_within.unionByName(dup_prev).distinct()
+        if bad.isEmpty():
+            break
+        clean = newv.join(bad, "vid", "left_anti")
+        redo = newv.join(bad, "vid", "left_semi").select(
+            F.xxhash64("repo", "path", F.lit(rnd)).alias("vid"), "repo", "path"
+        )
+        newv = clean.unionByName(redo).persist()
+    else:
+        raise RuntimeError(
+            f"derive_edges_incremental: vid collisions persisted after "
+            f"{max_rounds} salted re-hash rounds (astronomically unlikely; "
+            "check input)"
+        )
+    verts = prev.verts.unionByName(newv).persist()
+
+    # durable narrow-state update: replace affected files' statements/ledger
+    imports = (
+        prev.imports.join(affected, ["repo", "path"], "left_anti")
+        .unionByName(
+            extract_imports(
+                take.select("repo", "path", "commit", "lang", "content")
+            )
+        )
+        .persist()
+    )
+    files = prev.files.join(affected, ["repo", "path"], "left_anti").unionByName(
+        take.select("repo", "path", "commit")
+    )
+
+    # modules whose candidate set changed: only NEW files add index entries
+    # (module name is a pure function of path, so a re-commit changes
+    # nothing index-side)
+    shadow = newv.select(_module_expr().alias("module")).distinct()
+    resolve_src = (
+        affected.unionByName(
+            imports.join(shadow, "module", "left_semi").select("repo", "path")
+        )
+        .distinct()
+        .persist()
+    )
+
+    index = verts.select("vid", "repo", _module_expr().alias("module"))
+    stmts = imports.join(resolve_src, ["repo", "path"], "left_semi")
+    src_side = stmts.join(
+        verts.select(F.col("vid").alias("src"), "repo", "path"),
+        ["repo", "path"],
+    ).select("src", F.col("repo").alias("src_repo"), "module")
+    new_edges = _resolve_edges(src_side, index)
+    kept = prev.edges.join(
+        resolve_src.join(verts, ["repo", "path"]).select(
+            F.col("vid").alias("src")
+        ),
+        "src",
+        "left_anti",
+    )
+    edges = kept.unionByName(new_edges)
+    return DerivedGraph(verts, edges, imports, files)
 
 
 def vertex_dictionary_hashed(corpus: DataFrame) -> tuple[DataFrame, int]:

@@ -196,10 +196,22 @@ def pagerank(
         # on the current universe, re-derive the static cols. One-time cost
         # at resume; identical state when nothing changed (kill/resume
         # byte-identity is pinned in tests/test_checkpoint.py).
+        anchored = verts.join(state.select("vid", "rank"), "vid", "left").select(
+            "vid", F.coalesce("rank", F.lit(1.0 / n)).alias("rank")
+        )
+        # New vertices inject 1/n mass each, but the update CONSERVES total
+        # mass — an excess would decay only geometrically (rate = damping),
+        # leaving a ~excess*damping^iters bias at any finite tol. Renormalize
+        # once at resume so warm and cold starts share the exact fixpoint
+        # trajectory; skipped when mass is already 1 so unchanged-graph
+        # kill/resume stays byte-identical (tests/test_checkpoint.py).
+        tot = anchored.agg(F.sum("rank")).first()[0] or 1.0
+        if abs(tot - 1.0) > 1e-9:
+            anchored = anchored.select(
+                "vid", (F.col("rank") / F.lit(float(tot))).alias("rank")
+            )
         return (
-            verts.join(state.select("vid", "rank"), "vid", "left")
-            .select("vid", F.coalesce("rank", F.lit(1.0 / n)).alias("rank"))
-            .join(_with_static_cols(verts), "vid")
+            anchored.join(_with_static_cols(verts), "vid")
             .select("vid", "rank", *static_cols, F.lit(1.0).alias("_delta"))
         )
 

@@ -246,3 +246,114 @@ def test_read_jsonl_corpus_corrupt_policies(spark, tmp_path):
     assert flags == [("?", True), ("a", False)]
     with pytest.raises(Exception):
         read_jsonl_corpus(spark, str(p), strict=True).collect()
+
+
+# ---- K8b: derive_graph + incremental derivation ---------------------------
+
+
+def _edge_set(df):
+    return sorted((r["src"], r["dst"], r["weight"]) for r in df.collect())
+
+
+def test_derive_graph_edges_identical_to_derive_edges(corpus):
+    from pcd_spark.corpus import derive_graph
+
+    _, e_full = derive_edges(corpus)
+    g = derive_graph(corpus)
+    assert _edge_set(g.edges) == _edge_set(e_full)
+    # narrow state invariants: no content column anywhere
+    for df in g:
+        assert "content" not in df.columns
+    # files ledger: exactly one row per (repo, path)
+    files = g.files.collect()
+    assert len({(r["repo"], r["path"]) for r in files}) == len(files)
+
+
+def test_incremental_derivation_equals_cold_recompute(spark):
+    """The K8b contract: incremental(prev, delta) == derive_graph(end), on a
+    delta that exercises every affected-set rule at once:
+      - a brand-new repo importing an existing module (new vertex + edge)
+      - a re-commit changing a file's imports (out-edges replaced)
+      - a SHADOWING file: r1 gains util.py, so r1/app.py's import of
+        'util' must flip from the cross-repo r2 target to the same-repo one
+        even though r1/app.py itself is NOT in the delta
+      - an out-of-order append (older commit id) that must be ignored
+    """
+    from pcd_spark.corpus import (
+        CORPUS_SCHEMA,
+        derive_edges_incremental,
+        derive_graph,
+    )
+
+    base = [
+        ("r1", "app.py", "c10", "python", "import util\nimport helper\n"),
+        ("r1", "helper.py", "c10", "python", "x = 1\n"),
+        ("r2", "util.py", "c10", "python", "y = 2\n"),
+        ("r2", "main.py", "c10", "python", "import util\n"),
+    ]
+    delta = [
+        # new repo, imports existing cross-repo module
+        ("r3", "new.py", "c20", "python", "import util\nimport util\n"),
+        # re-commit: main.py now also imports helper (cross-repo)
+        ("r2", "main.py", "c20", "python", "import util\nimport helper\n"),
+        # shadowing: r1 gains its own util.py
+        ("r1", "util.py", "c20", "python", "z = 3\n"),
+        # out-of-order: an OLDER commit of app.py must be ignored
+        ("r1", "app.py", "c05", "python", "import nothing_at_all\n"),
+    ]
+    df_base = spark.createDataFrame(base, CORPUS_SCHEMA)
+    df_delta = spark.createDataFrame(delta, CORPUS_SCHEMA)
+    df_end = df_base.unionByName(df_delta)
+
+    prev = derive_graph(df_base)
+    inc = derive_edges_incremental(prev, df_delta)
+    cold = derive_graph(df_end)
+
+    vmap = {(r["repo"], r["path"]): r["vid"] for r in inc.verts.collect()}
+    vmap_cold = {(r["repo"], r["path"]): r["vid"] for r in cold.verts.collect()}
+    assert vmap == vmap_cold
+    assert _edge_set(inc.edges) == _edge_set(cold.edges)
+    assert sorted(map(tuple, inc.imports.collect())) == sorted(
+        map(tuple, cold.imports.collect())
+    )
+    assert sorted(map(tuple, inc.files.collect())) == sorted(
+        map(tuple, cold.files.collect())
+    )
+
+    # the shadow flip actually happened: r1/app.py -> r1/util.py now
+    e = {(s, d): w for s, d, w in _edge_set(inc.edges)}
+    assert (vmap[("r1", "app.py")], vmap[("r1", "util.py")]) in e
+    assert (vmap[("r1", "app.py")], vmap[("r2", "util.py")]) not in e
+    # re-commit replaced main.py's out-edges (util stays, helper added)
+    assert (vmap[("r2", "main.py")], vmap[("r1", "helper.py")]) in e
+    # new file's duplicate import statements became weight 2 (its 'util'
+    # resolves to r1's copy: no same-repo match, then smallest repo wins)
+    assert e[(vmap[("r3", "new.py")], vmap[("r1", "util.py")])] == 2.0
+    # out-of-order append ignored: app.py kept its c10 imports
+    files = {(r["repo"], r["path"]): r["commit"] for r in inc.files.collect()}
+    assert files[("r1", "app.py")] == "c10"
+
+
+def test_incremental_derivation_on_synth_corpus(spark, corpus):
+    """Property-flavored check on the generated corpus: split the second
+    commits off as the delta; incremental == cold on the full corpus."""
+    from pcd_spark.corpus import derive_edges_incremental, derive_graph
+    import pyspark.sql.functions as F
+
+    # base snapshot = first commit per file; delta = everything else
+    from pcd_spark.corpus import latest_commits as _lc
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("repo", "path").orderBy(F.asc("commit"))
+    tagged = corpus.withColumn("rn", F.row_number().over(w))
+    df_base = tagged.filter("rn = 1").drop("rn")
+    df_delta = tagged.filter("rn > 1").drop("rn")
+    assert df_delta.count() > 0  # the fixture plants ~5% second commits
+
+    prev = derive_graph(df_base)
+    inc = derive_edges_incremental(prev, df_delta)
+    cold = derive_graph(corpus)
+    assert _edge_set(inc.edges) == _edge_set(cold.edges)
+    assert sorted(map(tuple, inc.verts.collect())) == sorted(
+        map(tuple, cold.verts.collect())
+    )

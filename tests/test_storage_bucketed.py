@@ -296,3 +296,80 @@ def test_corpus_table_incremental_read_returns_exactly_the_delta(spark, tmp_path
     assert got == [("r1", "a.py", "c9", "x = 10"), ("r2", "c.py", "c2", "z = 3")]
     # full read still sees the complete end snapshot
     assert t.read(spark, s1).count() == 4
+
+
+def test_snapshot_delta_incremental_graph_then_pagerank_resume(spark, tmp_path):
+    """End-to-end A13 + K8b demo — the batch-snapshot twin of the streaming
+    incremental-graph test: commit a corpus snapshot, derive the graph, run
+    PageRank to a durable checkpoint; commit an APPENDED snapshot, read
+    exactly the delta (A13), update the graph INCREMENTALLY (K8b — only the
+    delta's content is scanned), and resume PageRank from the checkpoint
+    onto the grown graph. The resumed run must converge to exactly what a
+    cold start on the grown graph computes (L1-contraction, unique
+    fixpoint)."""
+    from pcd_spark.corpus import (
+        CORPUS_SCHEMA,
+        derive_edges_incremental,
+        derive_graph,
+    )
+    from pcd_spark.graph import pagerank
+    from pcd_spark.storage import CheckpointStore, CorpusTable
+
+    t = CorpusTable(str(tmp_path / "corpus"), partition_by="lang")
+    base = [
+        ("r1", "app.py", "c10", "python", "import util\nimport helper\n"),
+        ("r1", "helper.py", "c10", "python", "import util\n"),
+        ("r1", "util.py", "c10", "python", "x = 1\n"),
+        ("r2", "main.py", "c10", "python", "import app\n"),
+        ("r2", "app.py", "c10", "python", "import main\n"),
+    ]
+    extra = [
+        # new repo wiring into both old repos
+        ("r3", "glue.py", "c20", "python", "import util\nimport main\n"),
+        ("r3", "util.py", "c20", "python", "import glue\n"),
+        # re-commit: r2/main.py now also imports the new glue module
+        ("r2", "main.py", "c20", "python", "import app\nimport glue\n"),
+    ]
+    s0 = t.commit(spark.createDataFrame(base, CORPUS_SCHEMA), note="base")
+    s1 = t.commit(
+        spark.createDataFrame(base + extra, CORPUS_SCHEMA), note="append"
+    )
+
+    prev = derive_graph(t.read(spark, s0))
+    ck = CheckpointStore(str(tmp_path / "prck"), "pagerank", run_id="snap")
+    stats1: dict = {}
+    pagerank(
+        prev.edges, tol=1e-10, max_iter=25,
+        store=ck, checkpoint_every=5, stats_out=stats1,
+    ).collect()
+    assert ck.latest() is not None
+
+    # A13: exactly the appended rows, then K8b incremental update
+    delta = t.read_appended(spark, s0, s1)
+    assert delta.count() == len(extra)
+    grown = derive_edges_incremental(prev, delta)
+    # sanity: incremental == cold derivation on the end snapshot
+    cold_graph = derive_graph(t.read(spark, s1))
+    assert sorted(map(tuple, grown.edges.collect())) == sorted(
+        map(tuple, cold_graph.edges.collect())
+    )
+
+    ck2 = CheckpointStore(str(tmp_path / "prck"), "pagerank", run_id="snap")
+    resumed_from = ck2.latest().iteration
+    stats2: dict = {}
+    warm = {
+        r["vid"]: r["rank"]
+        for r in pagerank(
+            grown.edges, tol=1e-10, max_iter=160,
+            store=ck2, checkpoint_every=5, stats_out=stats2,
+        ).collect()
+    }
+    assert stats2["iterations"] > resumed_from  # it actually resumed
+    cold = {
+        r["vid"]: r["rank"]
+        for r in pagerank(grown.edges, tol=1e-10, max_iter=160).collect()
+    }
+    assert set(warm) == set(cold)
+    assert abs(sum(warm.values()) - 1.0) < 1e-9
+    for v in cold:
+        assert abs(warm[v] - cold[v]) < 1e-8, (v, warm[v], cold[v])
