@@ -148,7 +148,7 @@ _PRIORITY = [
     # were rotated into the window above after going hash-green)
     "v10_mmr_rerank", "k42_weighted_pagerank", "k43_edge_betweenness",
     "k44_local_community", "k45_heavy_matching", "k46_coarsen",
-    "k47_densest_subgraph", "k48_doulion_triangles",
+    "k47_densest_subgraph", "k48_doulion_triangles", "k8b_incremental_edges",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -1533,3 +1533,44 @@ def k48(spark, sf):
           int(r["sampled_edges"]), float(r["p"]))],
         "estimate double, sampled_triangles long, sampled_edges long, p double",
     )
+
+
+@g("k8b_incremental_edges", None)  # hashed vids (xxhash64) not in SQL;
+# incremental == cold-recompute equality pinned in tests/test_corpus.py
+def k8b(spark, sf):
+    """K8b: incremental edge derivation from a snapshot delta. The synth
+    corpus is split into base (first commit per file) and delta (later
+    commits, ~5% of files); the durable DerivedGraph state built on the
+    base is updated from ONLY the delta (corpus.derive_edges_incremental)
+    — the 100 TB story where a daily append never rescans old content.
+    Output is the updated edge list named back to (repo, path), which
+    pytest pins EQUAL to a cold derive_graph of the full corpus
+    (tests/test_corpus.py::test_incremental_derivation_on_synth_corpus)."""
+    from pyspark.sql import Window as W
+
+    from pcd_spark.corpus import (
+        derive_edges_incremental,
+        derive_graph,
+        synth_corpus,
+    )
+
+    corpus = synth_corpus(spark, repos=20, files_per_repo=50, seed=42)
+    w = W.partitionBy("repo", "path").orderBy(F.asc("commit"))
+    tagged = corpus.withColumn("rn", F.row_number().over(w))
+    prev = derive_graph(tagged.filter("rn = 1").drop("rn"))
+    cur = derive_edges_incremental(prev, tagged.filter("rn > 1").drop("rn"))
+    sv = cur.verts.select(
+        F.col("vid").alias("src"),
+        F.col("repo").alias("src_repo"),
+        F.col("path").alias("src_path"),
+    )
+    dv = cur.verts.select(
+        F.col("vid").alias("dst"),
+        F.col("repo").alias("dst_repo"),
+        F.col("path").alias("dst_path"),
+    )
+    return (
+        cur.edges.join(sv, "src").join(dv, "dst")
+        .select("src_repo", "src_path", "dst_repo", "dst_path", "weight")
+        .orderBy("src_repo", "src_path", "dst_repo", "dst_path")
+    )

@@ -78,6 +78,7 @@ GOLDEN = {
     "k47_densest_subgraph": (2000, "dedf69bd88c09c81"),
     "v14_semdedup": (500, "740be0fb1bbacc84"),
     "k48_doulion_triangles": (1, "238da8db3794057f"),
+    "k8b_incremental_edges": (3715, "7717e4f66225495c"),
 }
 
 
