@@ -46,3 +46,4 @@ from pcd_spark.graph.condense import condensation, topological_levels  # noqa: F
 from pcd_spark.graph.nibble import local_community  # noqa: F401
 from pcd_spark.graph.matching import maximal_matching, coarsen_graph  # noqa: F401
 from pcd_spark.graph.densest import densest_subgraph  # noqa: F401
+from pcd_spark.graph.msf import minimum_spanning_forest  # noqa: F401

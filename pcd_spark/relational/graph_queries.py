@@ -1574,3 +1574,34 @@ def k8b(spark, sf):
         .select("src_repo", "src_path", "dst_repo", "dst_path", "weight")
         .orderBy("src_repo", "src_path", "dst_repo", "dst_path")
     )
+
+
+@g("k49_msf", None)  # union-find / Borůvka fixpoint not one-SQL-pass;
+# nx-exact + dual-path equality pinned in tests/test_round3_ops.py
+def k49(spark, sf):
+    """K49: minimum spanning forest of the bounded weighted part
+    co-occurrence graph [PUB: Borůvka 1926; Lattanzi et al. SPAA 2011] —
+    the backbone-extraction primitive (lightest connecting structure of a
+    similarity/co-occurrence graph). Weight = 1/co-occurrence count, so
+    the forest keeps the STRONGEST ties; the (weight, src, dst) total
+    order makes it unique at any parallelism. Exactness vs networkx on
+    distinct weights, dual-path (driver Kruskal == distributed Borůvka)
+    equality, and forest properties are pinned in
+    tests/test_round3_ops.py."""
+    from pcd_spark.graph import minimum_spanning_forest
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .filter((F.col("src") < 2000) & (F.col("dst") < 2000))
+        .groupBy("src", "dst")
+        .agg((F.lit(1.0) / F.count("*")).alias("weight"))
+    )
+    return (
+        minimum_spanning_forest(e, weight_col="weight")
+        .select("src", "dst", F.round("weight", 6).alias("weight"))
+        .orderBy("src", "dst")
+    )

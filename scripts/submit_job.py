@@ -26,7 +26,7 @@ def main() -> None:
                              "ktruss", "coreness", "mis", "projection",
                              "butterflies", "coloring", "katz", "condense",
                              "scan", "local-community", "matching",
-                             "coarsen", "densest"])
+                             "coarsen", "densest", "msf"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -158,6 +158,10 @@ def main() -> None:
 
         res = densest_subgraph(edges, max_iter=args.max_iter,
                                stats_out=stats)
+    elif args.algo == "msf":
+        from pcd_spark.graph import minimum_spanning_forest
+
+        res = minimum_spanning_forest(edges, stats_out=stats)
     elif args.algo == "local-community":
         from pcd_spark.graph import local_community
 

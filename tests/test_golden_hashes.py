@@ -79,6 +79,7 @@ GOLDEN = {
     "v14_semdedup": (500, "740be0fb1bbacc84"),
     "k48_doulion_triangles": (1, "238da8db3794057f"),
     "k8b_incremental_edges": (3715, "7717e4f66225495c"),
+    "k49_msf": (1999, "3321eef899a376bc"),
 }
 
 

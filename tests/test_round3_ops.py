@@ -832,3 +832,107 @@ def test_doulion_identity_at_p_one_and_bounded_error_at_quarter(spark, graphs):
     assert abs(r1["estimate"] - exact) / exact < 0.2
     with pytest.raises(ValueError):
         approx_triangle_total(e, p_num=0)
+
+
+# ---- K49: minimum spanning forest ------------------------------------------
+
+
+def _msf_edge_set(df):
+    return sorted((r["src"], r["dst"], r["weight"]) for r in df.collect())
+
+
+class TestMinimumSpanningForest:
+    def _rand_weighted(self, spark, n=40, m=160, seed=3):
+        """Distinct weights (hash-derived) => unique MSF, exact nx oracle."""
+        import networkx as nx
+
+        g = nx.gnm_random_graph(n, m, seed=seed)
+        rows = [
+            (u, v, float(((u * 73856093) ^ (v * 19349663) ^ seed) % 100000) + 0.5)
+            for u, v in ((min(a, b), max(a, b)) for a, b in g.edges())
+        ]
+        # hash weights can collide; the (w,src,dst) total order still makes
+        # the forest unique, but for the EXACT nx comparison force distinct
+        seen, uniq = set(), []
+        for u, v, w in rows:
+            while w in seen:
+                w += 0.25
+            seen.add(w)
+            uniq.append((u, v, w))
+        return uniq
+
+    def test_exact_vs_networkx_distinct_weights(self, spark):
+        import networkx as nx
+
+        from pcd_spark.graph import minimum_spanning_forest
+
+        rows = self._rand_weighted(spark)
+        e = spark.createDataFrame(rows, "src long, dst long, weight double")
+        got = _msf_edge_set(minimum_spanning_forest(e, weight_col="weight"))
+        g = nx.Graph()
+        g.add_weighted_edges_from(rows)
+        want = sorted(
+            (min(u, v), max(u, v), d["weight"])
+            for u, v, d in nx.minimum_spanning_edges(g, data=True)
+        )
+        assert got == want
+
+    def test_distributed_equals_driver_kruskal(self, spark):
+        from pcd_spark.graph import minimum_spanning_forest
+
+        rows = self._rand_weighted(spark, n=60, m=240, seed=9)
+        # duplicate weights on purpose: total order must still be unique
+        rows += [(0, 1, 7.0), (1, 2, 7.0), (2, 3, 7.0)]
+        e = spark.createDataFrame(rows, "src long, dst long, weight double")
+        st_d: dict = {}
+        st_b: dict = {}
+        drv = minimum_spanning_forest(e, weight_col="weight", stats_out=st_d)
+        dist = minimum_spanning_forest(
+            e, weight_col="weight", small_graph_cutoff=0, stats_out=st_b
+        )
+        assert st_d["path"] == "driver-kruskal" and st_b["path"] == "boruvka"
+        assert _msf_edge_set(drv) == _msf_edge_set(dist)
+        assert st_b["rounds"] >= 1
+
+    def test_forest_properties_duplicate_weights(self, spark, graphs):
+        """All weights equal: forest must span, be acyclic, and have
+        |V| - #components edges; total weight matches nx (MSF weight is
+        unique even when the forest is not)."""
+        import networkx as nx
+
+        from pcd_spark.graph import minimum_spanning_forest
+
+        for name in ("karate", "two_cliques", "two_cliques_split"):
+            spec = graphs[name]
+            e = spark.createDataFrame(
+                spec["edges"], "src long, dst long"
+            )
+            f = _msf_edge_set(minimum_spanning_forest(e))
+            g = nx.Graph(spec["edges"])
+            n_comp = nx.number_connected_components(g)
+            assert len(f) == g.number_of_nodes() - n_comp, name
+            fg = nx.Graph((u, v) for u, v, _ in f)
+            fg.add_nodes_from(g.nodes)
+            assert nx.number_connected_components(fg) == n_comp, name
+            assert not nx.cycle_basis(fg), name
+
+    def test_bridge_always_in_forest(self, spark, graphs):
+        from pcd_spark.graph import minimum_spanning_forest
+
+        e = spark.createDataFrame(
+            graphs["two_cliques"]["edges"], "src long, dst long"
+        )
+        f = _msf_edge_set(minimum_spanning_forest(e))
+        assert (9, 10, 1.0) in f  # the only bridge
+
+    def test_empty_and_trivial(self, spark):
+        from pcd_spark.graph import minimum_spanning_forest
+
+        empty = spark.createDataFrame([], "src long, dst long, weight double")
+        assert minimum_spanning_forest(empty, weight_col="weight").count() == 0
+        one = spark.createDataFrame([(5, 9, 2.0), (9, 5, 9.0), (5, 5, 1.0)],
+                                    "src long, dst long, weight double")
+        # parallel edge keeps min weight; self-loop dropped
+        assert _msf_edge_set(minimum_spanning_forest(one, weight_col="weight")) == [
+            (5, 9, 2.0)
+        ]
