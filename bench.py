@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "v14_semdedup",
     "x28_curation_pipeline",
     "k48_doulion_triangles",
+    # third continuation batch
+    "k8b_incremental_edges",
+    "k49_msf",
 ]
 
 
