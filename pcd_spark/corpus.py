@@ -327,7 +327,10 @@ def derive_graph(corpus: DataFrame) -> DerivedGraph:
 
 
 def derive_edges_incremental(
-    prev: DerivedGraph, corpus_delta: DataFrame, max_rounds: int = 4
+    prev: DerivedGraph,
+    corpus_delta: DataFrame,
+    max_rounds: int = 4,
+    stats_out: dict | None = None,
 ) -> DerivedGraph:
     """K8b incremental edge derivation: update the durable graph state from
     an A13 snapshot delta (`CorpusTable.read_appended`) WITHOUT rescanning
@@ -445,7 +448,24 @@ def derive_edges_incremental(
         "left_anti",
     )
     edges = kept.unionByName(new_edges)
-    return DerivedGraph(verts, edges, imports, files)
+    # Eagerly cut the outputs loose from the persisted intermediates, then
+    # RELEASE those caches — this function runs once per micro-batch in the
+    # streaming loop (ingest.start_corpus_ingestion), so a per-invocation
+    # cache leak would accumulate for the session lifetime (the exact
+    # pattern ADVICE r2 flagged on bipartite_projection). localCheckpoint
+    # also truncates lineage so state never chains across batches.
+    out = DerivedGraph(
+        verts=verts.localCheckpoint(eager=True),
+        edges=edges.localCheckpoint(eager=True),
+        imports=imports.localCheckpoint(eager=True),
+        files=files.localCheckpoint(eager=True),
+    )
+    if stats_out is not None:
+        stats_out["files_updated"] = take.count()
+        stats_out["new_files"] = newv.count()
+    for cached in (take, newv, verts, imports, resolve_src):
+        cached.unpersist()
+    return out
 
 
 def vertex_dictionary_hashed(corpus: DataFrame) -> tuple[DataFrame, int]:

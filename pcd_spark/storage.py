@@ -509,3 +509,99 @@ def zorder_write(
             c: sum(v) / len(v) if v else 1.0 for c, v in spans.items()
         },
     }
+
+
+class DerivedGraphStore:
+    """K8b durable state store: versioned, atomically-committed persistence
+    of a `corpus.DerivedGraph` (verts/edges/imports/files — all narrow, no
+    content column).
+
+    Same commit discipline as CorpusTable: the four Parquet dirs of a
+    version are fully written BEFORE the version-log append (the commit
+    point, an atomic rename) — a crash mid-save leaves an orphan dir,
+    never a torn state. `load()` always sees exactly one committed
+    version, so a streaming updater (ingest.start_corpus_ingestion) and a
+    concurrent reader (an algorithm resuming from checkpoint on the grown
+    graph) never race.
+
+    In prod each member table is an Iceberg table and `save` is one
+    transaction; only this adapter changes.
+    """
+
+    _MEMBERS = ("verts", "edges", "imports", "files")
+    _SCHEMAS = {
+        "verts": "vid long, repo string, path string",
+        "edges": "src long, dst long, weight double",
+        "imports": "repo string, path string, module string",
+        "files": "repo string, path string, commit string",
+    }
+
+    def __init__(self, base_dir: str):
+        self.base = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    def _log_path(self) -> str:
+        return os.path.join(self.base, "version-log.json")
+
+    def versions(self) -> list[dict]:
+        if not os.path.exists(self._log_path()):
+            return []
+        with open(self._log_path()) as f:
+            return json.load(f)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1]["id"] if vs else None
+
+    def empty(self, spark: SparkSession):
+        """Bootstrap state: derive_edges_incremental(empty, batch) equals
+        derive_graph(batch), so the first micro-batch needs no special
+        casing."""
+        from pcd_spark.corpus import DerivedGraph
+
+        return DerivedGraph(
+            **{
+                m: spark.createDataFrame([], self._SCHEMAS[m])
+                for m in self._MEMBERS
+            }
+        )
+
+    def save(self, graph, note: str = "") -> int:
+        vs = self.versions()
+        vid = (vs[-1]["id"] + 1) if vs else 0
+        vdir = os.path.join(self.base, f"v-{vid:05d}")
+        rows = {}
+        for m in self._MEMBERS:
+            path = os.path.join(vdir, m)
+            getattr(graph, m).write.mode("overwrite").parquet(path)
+        spark = graph.verts.sparkSession
+        for m in self._MEMBERS:
+            rows[m] = spark.read.parquet(os.path.join(vdir, m)).count()
+        vs.append(
+            {
+                "id": vid,
+                "path": vdir,
+                "rows": rows,
+                "note": note,
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        )
+        tmp = self._log_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(vs, f)
+        os.replace(tmp, self._log_path())
+        return vid
+
+    def load(self, spark: SparkSession, version: int | None = None):
+        from pcd_spark.corpus import DerivedGraph
+
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed version in {self.base}")
+        v = vs[-1] if version is None else vs[version]
+        return DerivedGraph(
+            **{
+                m: spark.read.parquet(os.path.join(v["path"], m))
+                for m in self._MEMBERS
+            }
+        )

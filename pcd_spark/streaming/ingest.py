@@ -135,6 +135,55 @@ def start_edge_ingestion(
     return writer.start()
 
 
+def start_corpus_ingestion(
+    corpus_stream: DataFrame,
+    state_dir: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+):
+    """I12: streaming corpus appends → incremental K8b graph maintenance.
+
+    Each micro-batch of corpus rows (repo, path, commit, lang, content)
+    updates the durable DerivedGraph state (DerivedGraphStore at
+    `state_dir`) via derive_edges_incremental — only the batch's content
+    is ever scanned; the standing 100 TB corpus is represented by the
+    narrow state tables. After any batch, the current edge table
+    (`DerivedGraphStore(state_dir).load(spark).edges`) feeds any K-series
+    algorithm, resuming from its own checkpoint (the A6/I7 loop at corpus
+    granularity instead of edge granularity).
+
+    Idempotent under replay BY THE TAKE RULE, not by sink bookkeeping: a
+    replayed batch's rows all have commit <= the ledger's commit for their
+    file, so derive_edges_incremental reports 0 files_updated and the save
+    is skipped — state version history stays clean across micro-batch
+    retries."""
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        from pcd_spark.corpus import derive_edges_incremental
+        from pcd_spark.storage import DerivedGraphStore
+
+        spark = batch.sparkSession
+        store = DerivedGraphStore(state_dir)
+        prev = (
+            store.load(spark)
+            if store.latest_version() is not None
+            else store.empty(spark)
+        )
+        stats: dict = {}
+        new = derive_edges_incremental(prev, batch, stats_out=stats)
+        if stats["files_updated"] > 0:
+            store.save(new, note=f"batch={batch_id}")
+
+    writer = (
+        corpus_stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """J6: custom stateful operator via applyInPandasWithState — per-user
     running (event count, value total) maintained across micro-batches in

@@ -510,3 +510,67 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, stream_dirs
     assert (2, 2) in nulls, got2  # the abandoned click surfaced as a NULL row
     assert (0, 1) not in nulls  # matched clicks never also emit a null row
     assert (0, 1, 10.0) in got2  # matches unchanged by the outer semantics
+
+
+def test_corpus_ingestion_incremental_graph_maintenance(spark, stream_dirs, tmp_path):
+    """I12: corpus micro-batches stream in; the durable DerivedGraph state
+    is maintained incrementally (K8b) and, after every batch, equals a cold
+    derive_graph over everything seen. Replay with a fresh stream
+    checkpoint (forced reprocessing) is a no-op by the commit-monotone
+    take rule — no new state version."""
+    from pcd_spark.corpus import CORPUS_SCHEMA, derive_graph
+    from pcd_spark.storage import DerivedGraphStore
+    from pcd_spark.streaming.ingest import start_corpus_ingestion
+
+    src, ckpt, _ = stream_dirs
+    state = str(tmp_path / "graph_state")
+
+    b1 = [
+        ("r1", "app.py", "c10", "python", "import util\n"),
+        ("r1", "util.py", "c10", "python", "x = 1\n"),
+        ("r2", "main.py", "c10", "python", "import util\n"),
+    ]
+    b2 = [
+        ("r3", "new.py", "c20", "python", "import util\nimport main\n"),
+        ("r2", "main.py", "c20", "python", "import util\nimport app\n"),
+        ("r2", "util.py", "c20", "python", "y = 2\n"),  # shadows r2's import
+    ]
+    _drop_file(spark.createDataFrame(b1, CORPUS_SCHEMA), src, "b1.parquet")
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(src)
+    start_corpus_ingestion(stream, state, ckpt).awaitTermination(120)
+
+    store = DerivedGraphStore(state)
+    assert store.latest_version() == 0
+    got1 = store.load(spark)
+    want1 = derive_graph(spark.createDataFrame(b1, CORPUS_SCHEMA))
+    assert sorted(map(tuple, got1.edges.collect())) == sorted(
+        map(tuple, want1.edges.collect())
+    )
+
+    _drop_file(spark.createDataFrame(b2, CORPUS_SCHEMA), src, "b2.parquet")
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(src)
+    start_corpus_ingestion(stream, state, ckpt).awaitTermination(120)
+
+    assert store.latest_version() == 1
+    got2 = store.load(spark)
+    want2 = derive_graph(spark.createDataFrame(b1 + b2, CORPUS_SCHEMA))
+    assert sorted(map(tuple, got2.edges.collect())) == sorted(
+        map(tuple, want2.edges.collect())
+    )
+    assert sorted(map(tuple, got2.files.collect())) == sorted(
+        map(tuple, want2.files.collect())
+    )
+    # the shadow actually landed: r2/main.py's 'util' now resolves same-repo
+    vm = {(r["repo"], r["path"]): r["vid"] for r in got2.verts.collect()}
+    e = {(r["src"], r["dst"]) for r in got2.edges.collect()}
+    assert (vm[("r2", "main.py")], vm[("r2", "util.py")]) in e
+    assert (vm[("r2", "main.py")], vm[("r1", "util.py")]) not in e
+
+    # replay everything with a FRESH streaming checkpoint: both files are
+    # reprocessed, but the take rule filters every row -> no new version
+    start_corpus_ingestion(
+        spark.readStream.schema(CORPUS_SCHEMA).parquet(src),
+        state,
+        str(tmp_path / "ckpt_replay"),
+    ).awaitTermination(120)
+    assert store.latest_version() == 1
