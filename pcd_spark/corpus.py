@@ -323,7 +323,18 @@ def derive_graph(corpus: DataFrame) -> DerivedGraph:
         ["repo", "path"],
     ).select("src", F.col("repo").alias("src_repo"), "module")
     edges = _resolve_edges(src_side, index)
-    return DerivedGraph(verts, edges, imports, files)
+    # same eager-output + release discipline as derive_edges_incremental:
+    # callers (k8b query, the I12 streaming bootstrap) may invoke this
+    # repeatedly in one session, so nothing persisted may outlive the call
+    out = DerivedGraph(
+        verts=verts.localCheckpoint(eager=True),
+        edges=edges.localCheckpoint(eager=True),
+        imports=imports.localCheckpoint(eager=True),
+        files=files.localCheckpoint(eager=True),
+    )
+    for cached in (verts, imports, files):
+        cached.unpersist()
+    return out
 
 
 def derive_edges_incremental(
