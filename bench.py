@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     # third continuation batch
     "k8b_incremental_edges",
     "k49_msf",
+    "v15_hamming_topk",
 ]
 
 

@@ -84,7 +84,7 @@ _PRIORITY = [
     "x24_shared_spans", "x25_lm_quality", "x26_segment_dedup_rewrite",
     "x27_source_mixing",
     # V. similarity search (v1/v2/v3 -> driver-green, pytest mirror)
-    "v8_cosine_range", "v9_sq8_topk", "v11_ann_recall",
+    "v8_cosine_range", "v9_sq8_topk", "v11_ann_recall", "v15_hamming_topk",
     "v13_matryoshka_rerank",
     # M. multimodal
     "m3_frame_sample",

@@ -2930,3 +2930,73 @@ def x28(spark, sf):
         .alias("split"),
         F.col("ntok").cast("long").alias("n_tokens_kept"),
     )
+
+
+# =========================================================================
+# V15: 1-bit binary sign quantization + Hamming top-k (round 3 cont.)
+# =========================================================================
+
+
+@qt(
+    "v15_hamming_topk",
+    """WITH probes AS (SELECT vec_id AS probe_id, embedding AS pemb
+                       FROM embeddings WHERE vec_id < 5),
+       scored AS (
+         SELECT p.probe_id, e.vec_id AS cand_id,
+                (SELECT COUNT(*) FROM generate_series(1, 64) g(i)
+                 WHERE (p.pemb[i] > 0) <> (e.embedding[i] > 0)) AS hamming
+         FROM probes p JOIN embeddings e ON e.vec_id <> p.probe_id)
+       SELECT probe_id, cand_id, hamming FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY hamming ASC, cand_id ASC) AS rn
+         FROM scored) WHERE rn <= 3""",
+)
+def v15(spark, sf):
+    """V15: binary (1-bit sign) quantization + Hamming top-k — the most
+    compressed member of the index family (v1 exact, v2/v3 sign-LSH
+    buckets, v4 IVF, v6/v7 PQ, v9 SQ8): each 64-dim float vector becomes
+    ONE long (bit i = embedding[i] > 0), a 512x wire/cache reduction, and
+    distance is a single XOR + POPCOUNT per candidate — pure codegen'd
+    integer ops, no float math in the scan loop [PUB: Charikar STOC 2002
+    (sign random projections); the packed-popcount search is the standard
+    "binary quantization" path in faiss/modern vector stores]. Wider
+    vectors pack into ceil(dim/64) longs; the sf tables are 64-dim so one
+    suffices (TESTDATA.md).
+
+    Exactness/oracle discipline: Hamming distance is an INTEGER — no
+    rounding rules needed; the DuckDB oracle computes the same
+    sign-disagreement count dimension-wise (no packing), so the value
+    equality it checks is packing-independent. Ties (many, in a 64-bit
+    code space) break by cand_id ASC on both engines. Plan shape is
+    v8/v9's broadcast-probes scan: probes BuildLeft, the one-long-per-row
+    encoded table streams scan-side."""
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    code = F.lit(0).cast("long")
+    for i in range(_EMB_DIM):
+        code = code.bitwiseOR(
+            F.when(
+                F.col("embedding")[i] > 0,
+                F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    enc = e.select("vec_id", code.alias("code"))
+    probes = enc.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("code").alias("pcode")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(enc, F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            F.bit_count(F.col("pcode").bitwiseXOR(F.col("code")))
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("hamming"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "cand_id", "hamming")
+    )

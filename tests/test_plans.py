@@ -204,6 +204,16 @@ def test_v9_sq8_streams_big_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
 
 
+def test_v15_hamming_streams_big_side(spark, sf_dir):
+    """v15's binary-quantized search keeps the broadcast-probes shape: the
+    5-probe set broadcasts (BuildLeft) and the one-long-per-row encoded
+    table streams scan-side; distance is XOR+popcount inside codegen —
+    no Python, no float math in the scan loop."""
+    plan = _plan(spark, sf_dir, "v15_hamming_topk")
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_v10_mmr_streams_big_side(spark, sf_dir):
     """v10's candidate stage is v1's broadcast-probes scan (same exemption):
     probes broadcast (BuildLeft), candidates stream; the greedy re-rank is
