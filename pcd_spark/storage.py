@@ -209,7 +209,17 @@ class CorpusTable:
         snaps = self.snapshots()
         if not snaps:
             raise FileNotFoundError(f"no committed snapshot in {self.base}")
-        snap = snaps[-1] if snapshot_id is None else snaps[snapshot_id]
+        if snapshot_id is None:
+            snap = snaps[-1]
+        else:
+            # by id, not position: ids stay stable across A14 expiration
+            hit = [s for s in snaps if s["id"] == snapshot_id]
+            if not hit:
+                raise FileNotFoundError(
+                    f"snapshot {snapshot_id} not in {self.base} (expired or "
+                    f"never committed; live ids: {[s['id'] for s in snaps]})"
+                )
+            snap = hit[0]
         return spark.read.parquet(snap["path"])
 
     def read_appended(
@@ -598,10 +608,67 @@ class DerivedGraphStore:
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"no committed version in {self.base}")
-        v = vs[-1] if version is None else vs[version]
+        if version is None:
+            v = vs[-1]
+        else:
+            # by id, not position: ids stay stable across A14 expiration
+            hit = [x for x in vs if x["id"] == version]
+            if not hit:
+                raise FileNotFoundError(
+                    f"version {version} not in {self.base} (expired or never "
+                    f"committed; live ids: {[x['id'] for x in vs]})"
+                )
+            v = hit[0]
         return DerivedGraph(
             **{
                 m: spark.read.parquet(os.path.join(v["path"], m))
                 for m in self._MEMBERS
             }
         )
+
+
+def _expire_log_entries(
+    log_path: str, entries: list[dict], keep_last: int, kind: str
+) -> list[dict]:
+    """A14 shared core: drop all but the newest `keep_last` entries from an
+    append-only JSON log, delete their data dirs, and commit the shortened
+    log atomically (rename AFTER the deletes would risk a log that points
+    at removed dirs on crash — so the log commits FIRST, and a crash
+    mid-delete leaves only unreferenced orphan dirs, same invariant as the
+    write path). Returns the expired entries."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"expire: keep_last must be >= 1, got {keep_last}")
+    if len(entries) <= keep_last:
+        return []
+    expired, kept = entries[:-keep_last], entries[-keep_last:]
+    tmp = log_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(kept, f)
+    os.replace(tmp, log_path)
+    for e in expired:
+        shutil.rmtree(e["path"], ignore_errors=True)
+    return expired
+
+
+def expire_corpus_snapshots(table: CorpusTable, keep_last: int = 2) -> list[dict]:
+    """A14: snapshot expiration for CorpusTable (Iceberg's
+    `expireSnapshots` / VACUUM semantics, emulated on the local adapter).
+    Keeps the newest `keep_last` snapshots readable; older snapshot ids
+    raise on read afterwards. Incremental reads (`read_appended`) across
+    an expired start snapshot fail loudly rather than returning a wrong
+    delta — the version log is the source of truth."""
+    return _expire_log_entries(
+        table._log_path(), table.snapshots(), keep_last, "snapshot"
+    )
+
+
+def expire_graph_versions(store: "DerivedGraphStore", keep_last: int = 2) -> list[dict]:
+    """A14: version expiration for DerivedGraphStore — the streaming
+    updater (I12) writes one version per effective micro-batch, so an
+    unbounded log is the same operational failure mode A11 compaction
+    addresses for small files."""
+    return _expire_log_entries(
+        store._log_path(), store.versions(), keep_last, "version"
+    )

@@ -373,3 +373,72 @@ def test_snapshot_delta_incremental_graph_then_pagerank_resume(spark, tmp_path):
     assert abs(sum(warm.values()) - 1.0) < 1e-9
     for v in cold:
         assert abs(warm[v] - cold[v]) < 1e-8, (v, warm[v], cold[v])
+
+
+# ---- A14: snapshot / version expiration -----------------------------------
+
+
+def test_corpus_snapshot_expiration(spark, tmp_path):
+    """Expire old snapshots: ids stay stable, the kept tail reads fine,
+    expired reads (and deltas anchored on them) raise loudly, and the
+    expired data dirs are actually gone."""
+    import os
+
+    import pytest as _pt
+
+    from pcd_spark.corpus import CORPUS_SCHEMA
+    from pcd_spark.storage import CorpusTable, expire_corpus_snapshots
+
+    t = CorpusTable(str(tmp_path / "tbl"), partition_by="lang")
+    rows = [("r", "a.py", "c1", "python", "x = 1\n")]
+    sids, dirs = [], []
+    for i in range(4):
+        rows.append(("r", f"f{i}.py", f"c{i+2}", "python", f"v = {i}\n"))
+        sids.append(t.commit(spark.createDataFrame(rows, CORPUS_SCHEMA)))
+        dirs.append(t.snapshots()[-1]["path"])
+
+    expired = expire_corpus_snapshots(t, keep_last=2)
+    assert [e["id"] for e in expired] == sids[:2]
+    assert [s["id"] for s in t.snapshots()] == sids[2:]  # ids stable
+    assert not os.path.exists(dirs[0]) and not os.path.exists(dirs[1])
+    # latest + surviving explicit id still read
+    assert t.read(spark).count() == 5
+    assert t.read(spark, sids[2]).count() == 4
+    # expired id: loud failure, also through read_appended's anchor
+    with _pt.raises(FileNotFoundError):
+        t.read(spark, sids[0])
+    with _pt.raises(FileNotFoundError):
+        t.read_appended(spark, sids[1], sids[3]).count()
+    # delta across the surviving pair still exact
+    got = t.read_appended(spark, sids[2], sids[3]).collect()
+    assert [(r["repo"], r["path"]) for r in got] == [("r", "f3.py")]
+    with _pt.raises(ValueError):
+        expire_corpus_snapshots(t, keep_last=0)
+
+
+def test_graph_version_expiration(spark, tmp_path):
+    import os
+
+    import pytest as _pt
+
+    from pcd_spark.corpus import CORPUS_SCHEMA, derive_graph
+    from pcd_spark.storage import DerivedGraphStore, expire_graph_versions
+
+    store = DerivedGraphStore(str(tmp_path / "state"))
+    for i in range(3):
+        g = derive_graph(
+            spark.createDataFrame(
+                [("r", f"f{j}.py", "c1", "python", "import os\n")
+                 for j in range(i + 1)],
+                CORPUS_SCHEMA,
+            )
+        )
+        store.save(g, note=f"v{i}")
+    d0 = store.versions()[0]["path"]
+    expired = expire_graph_versions(store, keep_last=1)
+    assert [e["id"] for e in expired] == [0, 1]
+    assert store.latest_version() == 2
+    assert not os.path.exists(d0)
+    assert store.load(spark).verts.count() == 3
+    with _pt.raises(FileNotFoundError):
+        store.load(spark, version=0)
