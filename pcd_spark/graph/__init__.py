@@ -22,6 +22,7 @@ from pcd_spark.graph.bipartite import (  # noqa: F401
     butterfly_total,
 )
 from pcd_spark.graph.louvain import louvain  # noqa: F401
+from pcd_spark.graph.leiden import leiden  # noqa: F401
 from pcd_spark.graph.sssp import shortest_paths  # noqa: F401
 from pcd_spark.graph.hits import hits  # noqa: F401
 from pcd_spark.graph.linkpred import (  # noqa: F401

@@ -186,6 +186,7 @@ def _local_move_phase(
     max_rounds: int,
     n_classes: int = 2,
     stats: dict | None = None,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Iterate class-scheduled move rounds until a full cycle over all
     n_classes activation classes makes no move (or max_rounds). Same
@@ -196,7 +197,12 @@ def _local_move_phase(
     plan references its input state ~8 times — sigma, histogram, candidate
     and score joins — so an UNtruncated chain recomputes exponentially;
     measured: paired rounds without per-round materialization took minutes
-    on a 20-vertex graph, truncated rounds take ~1 s.)"""
+    on a 20-vertex graph, truncated rounds take ~1 s.)
+
+    `init` (vid, comm) seeds the starting assignment instead of singletons —
+    the Leiden aggregate-level requirement (K50): the coarse graph's local
+    move must START from the previous level's macro partition, not from
+    scratch [PUB: Traag/Waltman/van Eck 2019, "From Louvain to Leiden"]."""
     from pyspark.sql import Observation
 
     from pcd_spark.graph.superstep import reset_plan_stats
@@ -207,8 +213,13 @@ def _local_move_phase(
         .repartition(num_parts, "vid")
         .persist()
     )
-    ck = k.select(
-        "vid", F.col("vid").alias("comm"), F.lit(0.0).alias("_delta")
+    start = (
+        k.select("vid", F.col("vid").alias("comm"))
+        if init is None
+        else k.select("vid").join(init.select("vid", "comm"), "vid")
+    )
+    ck = start.select(
+        "vid", "comm", F.lit(0.0).alias("_delta")
     ).localCheckpoint(eager=True)
     state = reset_plan_stats(ck)
 

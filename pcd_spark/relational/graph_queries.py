@@ -1605,3 +1605,28 @@ def k49(spark, sf):
         .select("src", "dst", F.round("weight", 6).alias("weight"))
         .orderBy("src", "dst")
     )
+
+
+@g("k50_leiden_communities", None)  # iterative; connectivity guarantee +
+# structural exactness pinned in tests/test_leiden.py
+def k50(spark, sf):
+    """K50: Leiden communities over the part co-occurrence graph — K13's
+    report shape (sizes + per-community modularity contribution via K9's
+    closed form) plus the guarantee Louvain lacks: every community is
+    connected [PUB: Traag/Waltman/van Eck 2019]. Exactness is pinned
+    structurally in tests/test_leiden.py (clique recovery, brute-force
+    optimum, connectivity property on random graphs, Q-vs-networkx 1e-9)."""
+    from pcd_spark.graph import leiden
+    from pcd_spark.graph.quality import modularity_terms
+
+    e = part_cooccurrence_edges(spark, sf)
+    labels = leiden(e)
+    terms = modularity_terms(e, labels)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("size"))
+        .join(terms.withColumnRenamed("community", "label"), "label")
+        .select("label", "size", "intra_edges", "degree_sum", "q_c")
+        .orderBy(F.desc("size"), F.asc("label"))
+        .limit(50)
+    )

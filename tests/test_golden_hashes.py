@@ -80,6 +80,7 @@ GOLDEN = {
     "k48_doulion_triangles": (1, "238da8db3794057f"),
     "k8b_incremental_edges": (3715, "7717e4f66225495c"),
     "k49_msf": (1999, "3321eef899a376bc"),
+    "k50_leiden_communities": (12, "e45e66e9e80dc98a"),
 }
 
 
