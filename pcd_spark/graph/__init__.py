@@ -9,13 +9,14 @@ from pcd_spark.graph.cc import connected_components  # noqa: F401
 from pcd_spark.graph.lpa import label_propagation  # noqa: F401
 from pcd_spark.graph.triangles import triangle_counts, approx_triangle_total  # noqa: F401
 from pcd_spark.graph.quality import (  # noqa: F401
+    burt_constraint,
     conductance_terms,
     local_clustering,
     modularity,
     modularity_terms,
     scan_similarity,
 )
-from pcd_spark.graph.kcore import coreness, k_core  # noqa: F401
+from pcd_spark.graph.kcore import coreness, k_core, onion_layers  # noqa: F401
 from pcd_spark.graph.bipartite import (  # noqa: F401
     bipartite_projection,
     butterfly_counts,

@@ -1,4 +1,5 @@
-"""K10 — k-core extraction; K27 — full core decomposition (round 2 ext.).
+"""K10 — k-core extraction; K27 — full core decomposition (round 2 ext.);
+K51 — onion decomposition (round 3 ext.).
 
 The k-core is the maximal subgraph in which every vertex has degree >= k
 [PUB: Seidman 1983, "Network structure and minimum degree"]. Standard
@@ -171,3 +172,149 @@ def coreness(
         stats_out["metrics"] = metrics
     edges.unpersist()
     return final.select("vid", F.col("h").alias("core"))
+
+
+def onion_layers(
+    edges: DataFrame,
+    max_iter: int = 10_000,
+    num_parts: int | None = None,
+    small_graph_cutoff: int = 200_000,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """K51: onion decomposition — (vid: long, layer: int) for every
+    non-isolated vertex [PUB: Hébert-Dufresne, Grochow & Allard 2016,
+    "Multi-scale structure and topological anomaly detection via a new
+    network statistic: The onion decomposition", Sci. Rep. 6:31708].
+
+    The onion layer refines coreness (K27): peel the graph layer by layer,
+    where layer L removes EVERY remaining vertex whose remaining degree is
+    <= the current core threshold (the running max of the minimum remaining
+    degree). Vertices in the same k-core get DIFFERENT layers depending on
+    how deep inside the core they sit — the per-layer size histogram is the
+    network's "onion spectrum" (anomaly/structure fingerprint).
+
+    The batch-removal rule is synchronous by definition (networkx's
+    sequential loop fixes each layer from a degree snapshot before any
+    removal), so distributed supersteps reproduce the sequential result
+    exactly; exactness vs nx.onion_layers and dual-path equality are pinned
+    in tests/test_round3_ops.py.
+
+    Plan shape per layer: two alive-set semi-joins into the persisted
+    symmetric edge blocks + one degree hash-agg (the K10/K47 exchange
+    pattern) + one O(1) scalar agg for the minimum remaining degree. Layer
+    count is graph-dependent: tens on power-law graphs (each layer strips a
+    whole degree class), but O(V) on adversarial chains — max_iter exhaustion
+    raises rather than returning a partial decomposition. Graphs at or below
+    `small_graph_cutoff` edges peel on the driver — result-identical (the
+    rule is a deterministic pure function of integer degrees; equality is
+    pinned in tests), set small_graph_cutoff=0 to force the distributed
+    path."""
+    edges = edges.persist()
+    p = num_parts or adaptive_num_parts(edges)
+    sym = symmetrize(edges).repartition(p, "src").persist()
+    n_sym = sym.count()
+
+    if n_sym // 2 <= small_graph_cutoff:
+        pairs = [
+            (r["src"], r["dst"])
+            for r in sym.filter(F.col("src") < F.col("dst")).collect()
+        ]
+        res = _onion_local(pairs, stats_out)
+        spark = edges.sparkSession
+        sym.unpersist()
+        edges.unpersist()
+        return spark.createDataFrame(res, "vid long, layer int")
+
+    assigned = None  # accumulated (vid, layer)
+    alive = (
+        sym.groupBy(F.col("src").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    core = 1
+    layer = 0
+    while layer < max_iter:
+        layer += 1
+        row = alive.agg(
+            F.min("deg").alias("mdeg"), F.count(F.lit(1)).alias("nv")
+        ).first()
+        if row["nv"] == 0:
+            layer -= 1
+            break
+        core = max(core, int(row["mdeg"]))
+        doomed = alive.filter(F.col("deg") <= core).select(
+            "vid", F.lit(layer).alias("layer")
+        )
+        assigned = (
+            doomed if assigned is None else assigned.unionByName(doomed)
+        ).localCheckpoint(eager=True)
+        survivors = alive.join(doomed.select("vid"), "vid", "leftanti").select(
+            "vid"
+        )
+        live = sym.join(
+            survivors.withColumnRenamed("vid", "src").hint("shuffle_hash"),
+            "src",
+            "leftsemi",
+        ).join(
+            survivors.withColumnRenamed("vid", "dst").hint("shuffle_hash"),
+            "dst",
+            "leftsemi",
+        )
+        deg = live.groupBy(F.col("src").alias("vid")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        # survivors whose every neighbor peeled keep a row with degree 0 so
+        # they get a layer (nx decrements them to 0 and peels them next)
+        alive = (
+            survivors.join(deg, "vid", "left")
+            .select("vid", F.coalesce("deg", F.lit(0)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"onion_layers: peeling not finished after max_iter={max_iter} "
+            "layers — chain-like graphs need O(V) layers; raise max_iter"
+        )
+    if stats_out is not None:
+        stats_out["layers"] = layer
+        stats_out["max_core"] = core
+    out = (assigned or alive.limit(0).select(
+        "vid", F.lit(0).alias("layer")
+    )).select("vid", F.col("layer").cast("int").alias("layer"))
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    edges.unpersist()
+    return out
+
+
+def _onion_local(pairs, stats_out: dict | None):
+    """Driver-side onion peel — the same batch rule as the distributed path
+    (and as networkx's sequential loop, whose per-layer membership is fixed
+    from a snapshot before any removal)."""
+    from collections import defaultdict
+
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for u, v in pairs:
+        if u != v:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    core = 1
+    layer = 0
+    out: list[tuple[int, int]] = []
+    while deg:
+        layer += 1
+        core = max(core, min(deg.values()))
+        batch = [v for v, d in deg.items() if d <= core]
+        for v in batch:
+            out.append((v, layer))
+        doomed = set(batch)
+        for v in batch:
+            for n in nbrs[v]:
+                if n in deg and n not in doomed:
+                    deg[n] -= 1
+            del deg[v]
+    if stats_out is not None:
+        stats_out["layers"] = layer
+        stats_out["max_core"] = core
+    return sorted(out)

@@ -415,3 +415,67 @@ def rich_club(
     return spark.createDataFrame(
         rows, "k int, n_k bigint, e_k bigint, phi double"
     )
+
+
+def burt_constraint(edges: DataFrame, round_to: int | None = 6) -> DataFrame:
+    """K52: Burt's structural-holes constraint per vertex —
+    (vid: long, constraint_score: double) [PUB: Burt 2004, "Structural
+    holes and good ideas", AJS 110(2); nx.constraint is the reference
+    formulation]. Low constraint = the vertex brokers between otherwise
+    disconnected neighbors (a structural hole — in a dependency graph, a
+    module whose removal disconnects supply chains; in a co-occurrence
+    graph, a bridging concept).
+
+        p_ij  = A_ij / Σ_k A_ik            (unweighted: 1/deg(i))
+        c(i)  = Σ_{j∈N(i)} ( p_ij + Σ_q p_iq·p_qj )²
+
+    Spark shape: deg is one hash-agg; the indirect term Σ_q p_iq·p_qj is a
+    single self-equi-join of the normalized edge table on the middle vertex
+    q followed by a (i,j)-keyed hash-agg — O(Σ_q deg(q)²) intermediate rows,
+    the inherent size of the two-path set. That is the scale boundary of
+    every structural-holes metric: at 10^12 edges you run it on a
+    degree-capped or ego-sampled subgraph (the K23/K43 bounded-cohort
+    pattern), never the raw hub graph — a single 10^7-degree hub alone would
+    emit 10^14 two-paths. No skew mitigation can remove that term; capping
+    IS the algorithm at scale. Fully SQL-expressible → DuckDB-oracled
+    (hash row), plus nx.constraint parity in pytest.
+
+    round_to: round the final score (both engines) so cross-engine float
+    summation-order noise cannot flip the 6th decimal; None disables."""
+    sym = edges.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    both = sym.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        sym.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = both.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    p = both.join(deg.withColumnRenamed("vid", "src"), "src").select(
+        F.col("src").alias("i"),
+        F.col("dst").alias("j"),
+        (F.lit(1.0) / F.col("deg")).alias("p"),
+    )
+    # indirect mass through every middle vertex q: one self-join on q
+    ind = (
+        p.select(F.col("i"), F.col("j").alias("q"), F.col("p").alias("piq"))
+        .join(
+            p.select(F.col("i").alias("q"), F.col("j"), F.col("p").alias("pqj")),
+            "q",
+        )
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("piq") * F.col("pqj")).alias("ind"))
+    )
+    lc = p.join(ind, ["i", "j"], "left").select(
+        "i",
+        F.pow(F.col("p") + F.coalesce(F.col("ind"), F.lit(0.0)), 2).alias("l"),
+    )
+    out = lc.groupBy(F.col("i").alias("vid")).agg(
+        F.sum("l").alias("constraint_score")
+    )
+    if round_to is not None:
+        out = out.select(
+            "vid", F.round("constraint_score", round_to).alias("constraint_score")
+        )
+    return out

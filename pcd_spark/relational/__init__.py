@@ -149,7 +149,8 @@ _PRIORITY = [
     "v10_mmr_rerank", "k42_weighted_pagerank", "k43_edge_betweenness",
     "k44_local_community", "k45_heavy_matching", "k46_coarsen",
     "k47_densest_subgraph", "k48_doulion_triangles", "k8b_incremental_edges",
-    "k49_msf", "k50_leiden_communities",
+    "k49_msf", "k50_leiden_communities", "k51_onion_layers",
+    "k52_burt_constraint",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -1630,3 +1630,52 @@ def k50(spark, sf):
         .orderBy(F.desc("size"), F.asc("label"))
         .limit(50)
     )
+
+
+@g("k51_onion_layers", None)  # iterative peel; nx.onion_layers-pinned +
+# dual-path equality + sf0.01 golden hash
+def k51(spark, sf):
+    """K51: onion decomposition of the part co-occurrence graph — each
+    vertex's peel layer (finer than K27 coreness: same-core vertices split
+    by how deep in the core they sit; the layer-size histogram is the
+    "onion spectrum" structure fingerprint). Exactness vs nx.onion_layers
+    + driver/distributed dual-path equality in tests/test_round3_ops.py."""
+    from pcd_spark.graph import onion_layers
+
+    return onion_layers(part_cooccurrence_edges(spark, sf)).orderBy("vid")
+
+
+@g(
+    "k52_burt_constraint",
+    f"""WITH canon AS ({_PART_EDGES_SQL}),
+        bounded AS (SELECT src, dst FROM canon
+                    WHERE src < 2000 AND dst < 2000),
+        sym AS (SELECT src, dst FROM bounded
+                UNION ALL SELECT dst AS src, src AS dst FROM bounded),
+        deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
+        p AS (SELECT s.src AS i, s.dst AS j, 1.0 / d.deg AS p
+              FROM sym s JOIN deg d ON d.vid = s.src),
+        ind AS (SELECT p1.i AS i, p2.j AS j, SUM(p1.p * p2.p) AS ind
+                FROM p p1 JOIN p p2 ON p1.j = p2.i
+                WHERE p1.i <> p2.j
+                GROUP BY p1.i, p2.j),
+        lc AS (SELECT p.i AS i,
+                      POWER(p.p + COALESCE(ind.ind, 0), 2) AS l
+               FROM p LEFT JOIN ind ON ind.i = p.i AND ind.j = p.j)
+        SELECT i AS vid, ROUND(SUM(l), 6) AS constraint_score
+        FROM lc GROUP BY i ORDER BY vid""",
+)
+def k52(spark, sf):
+    """K52: Burt's structural-holes constraint on the bounded part
+    co-occurrence cohort (same `< 2000` bound as K49 — structural-holes
+    metrics are inherently O(Σ deg²) two-path counts, so at scale they run
+    on degree-capped/ego cohorts by design; see
+    pcd_spark.graph.quality.burt_constraint). Low score = broker vertices
+    bridging otherwise-disconnected neighborhoods. Full SQL mirror →
+    DuckDB hash row; nx.constraint parity in pytest."""
+    from pcd_spark.graph.quality import burt_constraint
+
+    e = part_cooccurrence_edges(spark, sf).filter(
+        (F.col("src") < 2000) & (F.col("dst") < 2000)
+    )
+    return burt_constraint(e).orderBy("vid")

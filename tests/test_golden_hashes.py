@@ -81,6 +81,7 @@ GOLDEN = {
     "k8b_incremental_edges": (3715, "7717e4f66225495c"),
     "k49_msf": (1999, "3321eef899a376bc"),
     "k50_leiden_communities": (12, "e45e66e9e80dc98a"),
+    "k51_onion_layers": (2000, "0a64e8efc89751db"),
 }
 
 

@@ -97,6 +97,10 @@ PLAN_SWEEP = [
     # third continuation batch: x26's winner agg + reconstruction join
     # must stay equi hash joins with no per-row Python
     "x26_segment_dedup_rewrite",
+    # k52 Burt constraint: the two-path middle-vertex self-join must stay
+    # an equi hash join on q (cost = sum of squared degrees, never the
+    # n^2 BNLJ form), and the indirect-mass left join stays hash-keyed
+    "k52_burt_constraint",
 ]
 # x27/x28 crossJoin a ONE-ROW global-stats frame (broadcast nested loop
 # with a literal-sized build side — the intended scalar-distribution

@@ -936,3 +936,128 @@ class TestMinimumSpanningForest:
         assert _msf_edge_set(minimum_spanning_forest(one, weight_col="weight")) == [
             (5, 9, 2.0)
         ]
+
+
+# ---- K51 onion decomposition -------------------------------------------------
+
+
+class TestOnionLayers:
+    @pytest.mark.parametrize(
+        "make",
+        [
+            lambda: nx.karate_club_graph(),
+            lambda: nx.gnp_random_graph(80, 0.06, seed=11),
+            lambda: nx.ring_of_cliques(5, 4),
+            lambda: nx.barbell_graph(6, 3),
+        ],
+        ids=["karate", "gnp", "ring_of_cliques", "barbell"],
+    )
+    def test_matches_networkx_exactly(self, spark, make):
+        from pcd_spark.graph import onion_layers
+
+        G = make()
+        G.remove_nodes_from(list(nx.isolates(G)))
+        edges = sorted((min(u, v), max(u, v)) for u, v in G.edges())
+        got = {
+            r["vid"]: r["layer"]
+            for r in onion_layers(edges_df(spark, edges)).collect()
+        }
+        assert got == nx.onion_layers(G)
+
+    def test_driver_and_distributed_paths_agree(self, spark):
+        from pcd_spark.graph import onion_layers
+
+        G = nx.gnp_random_graph(60, 0.08, seed=3)
+        G.remove_nodes_from(list(nx.isolates(G)))
+        edges = sorted((min(u, v), max(u, v)) for u, v in G.edges())
+        df = edges_df(spark, edges)
+        fast = {
+            (r["vid"], r["layer"]) for r in onion_layers(df).collect()
+        }
+        dist_stats: dict = {}
+        dist = {
+            (r["vid"], r["layer"])
+            for r in onion_layers(
+                df, small_graph_cutoff=0, stats_out=dist_stats
+            ).collect()
+        }
+        assert fast == dist
+        assert dist_stats["layers"] == max(l for _, l in dist)
+
+    def test_layers_refine_coreness(self, spark):
+        # every vertex of coreness k peels before any vertex of coreness
+        # k' > k — the decomposition is a refinement of K27
+        from pcd_spark.graph import onion_layers
+
+        G = nx.gnp_random_graph(70, 0.1, seed=9)
+        G.remove_nodes_from(list(nx.isolates(G)))
+        edges = sorted((min(u, v), max(u, v)) for u, v in G.edges())
+        layer = {
+            r["vid"]: r["layer"]
+            for r in onion_layers(edges_df(spark, edges)).collect()
+        }
+        core = nx.core_number(G)
+        for u in G:
+            for v in G:
+                if core[u] < core[v]:
+                    assert layer[u] < layer[v]
+
+    def test_chain_needs_linear_layers_and_raises_on_exhaustion(self, spark):
+        from pcd_spark.graph import onion_layers
+
+        path = [(i, i + 1) for i in range(30)]
+        df = edges_df(spark, path)
+        with pytest.raises(RuntimeError, match="onion_layers"):
+            onion_layers(df, small_graph_cutoff=0, max_iter=3)
+        # and with the default budget it matches networkx
+        G = nx.path_graph(31)
+        got = {
+            r["vid"]: r["layer"] for r in onion_layers(df).collect()
+        }
+        assert got == nx.onion_layers(G)
+
+
+# ---- K52 Burt constraint -----------------------------------------------------
+
+
+class TestBurtConstraint:
+    @pytest.mark.parametrize(
+        "make",
+        [
+            lambda: nx.karate_club_graph(),
+            lambda: nx.gnp_random_graph(50, 0.1, seed=5),
+        ],
+        ids=["karate", "gnp"],
+    )
+    def test_matches_networkx(self, spark, make):
+        from pcd_spark.graph.quality import burt_constraint
+
+        G = make()
+        G.remove_nodes_from(list(nx.isolates(G)))
+        edges = sorted((min(u, v), max(u, v)) for u, v in G.edges())
+        got = {
+            r["vid"]: r["constraint_score"]
+            for r in burt_constraint(
+                edges_df(spark, edges), round_to=None
+            ).collect()
+        }
+        want = nx.constraint(G)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+    def test_star_center_unconstrained_leaf_fully_constrained(self, spark):
+        # star K1,5: leaves depend entirely on the hub (constraint
+        # (1 + 0)^2 = 1 each... leaf's only neighbor is the hub: p=1,
+        # indirect 0 -> c=1); the hub spreads over 5 disconnected leaves:
+        # c = 5 * (1/5)^2 = 0.2 — the canonical structural-hole picture
+        from pcd_spark.graph.quality import burt_constraint
+
+        edges = [(0, i) for i in range(1, 6)]
+        got = {
+            r["vid"]: r["constraint_score"]
+            for r in burt_constraint(edges_df(spark, edges)).collect()
+        }
+        assert got[0] == pytest.approx(0.2, abs=1e-9)
+        for leaf in range(1, 6):
+            assert got[leaf] == pytest.approx(1.0, abs=1e-9)
