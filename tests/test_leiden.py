@@ -143,3 +143,23 @@ def test_leiden_coarsens_on_refined_partition(spark):
             clique = set(range(base, base + 4))
             assert clique <= c or not (clique & c)
     _assert_all_connected(G, comm)
+
+
+def test_leiden_handles_negative_vids(spark, graphs):
+    # prod vids are signed xxhash64(repo, path) (K8 default), so labels are
+    # routinely negative — the K5 encoded-argmax bug class (round-1 ADVICE).
+    # The hash-keyed class schedule changes under relabeling, so the exact
+    # partition may legitimately differ; what must hold: every vertex
+    # labeled, labels are member vids, communities connected, quality keeps
+    # the karate bar.
+    g = graphs["karate"]
+    edges = [((u - 17) * 3, (v - 17) * 3) for u, v in g["edges"]]
+    rows = leiden(edges_df(spark, edges)).collect()
+    comms = _communities(rows)
+    verts = {(i - 17) * 3 for i in range(34)}
+    assert set().union(*comms.values()) == verts
+    assert all(lab in members for lab, members in comms.items())
+    G = nx.Graph(edges)
+    _assert_all_connected(G, comms)
+    q = nx.community.modularity(G, list(comms.values()), weight=None)
+    assert q >= 0.40

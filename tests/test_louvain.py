@@ -125,3 +125,20 @@ def test_louvain_coarsens_hierarchically(spark):
         for base in range(0, 32, 4):
             clique = set(range(base, base + 4))
             assert clique <= c or not (clique & c)
+
+
+def test_louvain_handles_negative_vids(spark, graphs):
+    # prod vids are signed xxhash64(repo, path) (K8 default) — same
+    # regression class as K5's encoded argmax (round-1 ADVICE). The
+    # hash-keyed move schedule changes under relabeling, so assert partition
+    # validity + canonical min-member labels + karate quality, not equality.
+    g = graphs["karate"]
+    edges = [((u - 17) * 3, (v - 17) * 3) for u, v in g["edges"]]
+    rows = louvain(edges_df(spark, edges)).collect()
+    comm = _communities(rows)
+    verts = {(i - 17) * 3 for i in range(34)}
+    assert set().union(*comm.values()) == verts
+    assert all(lab == min(members) for lab, members in comm.items())
+    G = nx.Graph(edges)
+    q = nx.community.modularity(G, list(comm.values()), weight=None)
+    assert q >= 0.40
