@@ -26,7 +26,8 @@ def main() -> None:
                              "ktruss", "coreness", "mis", "projection",
                              "butterflies", "coloring", "katz", "condense",
                              "scan", "local-community", "matching",
-                             "coarsen", "densest", "msf"])
+                             "coarsen", "densest", "msf", "leiden",
+                             "onion", "constraint"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -162,6 +163,18 @@ def main() -> None:
         from pcd_spark.graph import minimum_spanning_forest
 
         res = minimum_spanning_forest(edges, stats_out=stats)
+    elif args.algo == "leiden":
+        from pcd_spark.graph import leiden
+
+        res = leiden(edges, max_levels=args.max_iter, stats_out=stats)
+    elif args.algo == "onion":
+        from pcd_spark.graph import onion_layers
+
+        res = onion_layers(edges, stats_out=stats)
+    elif args.algo == "constraint":
+        from pcd_spark.graph import burt_constraint
+
+        res = burt_constraint(edges)
     elif args.algo == "local-community":
         from pcd_spark.graph import local_community
 

@@ -118,3 +118,47 @@ def test_submit_cli_matching_and_densest(tmp_path):
         f"SELECT vid, peel_round, in_densest FROM read_parquet('{d_out}/*.parquet')"
     ).fetchall() if ind)
     assert dens == list(range(8))
+
+
+def test_submit_cli_leiden_onion_constraint(tmp_path):
+    """Drive the fourth-batch --algo paths through the CLI: leiden on the
+    bridged-triangles graph must find the two triangles (connected
+    communities), onion must match the nx layer structure, constraint must
+    produce the star closed forms."""
+    snap = tmp_path / "g.txt"
+    snap.write_text("0 1\n1 2\n0 2\n3 4\n4 5\n3 5\n2 3\n7 8\n")
+    env = {**os.environ, "PYTHONPATH": REPO}
+
+    def run(algo, out):
+        cmd = [sys.executable, os.path.join(REPO, "scripts", "submit_job.py"),
+               "--algo", algo, "--snap", str(snap), "--out", out]
+        p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           cwd=str(tmp_path), timeout=600)
+        assert p.returncode == 0, p.stderr[-3000:]
+
+    l_out = str(tmp_path / "l_out")
+    run("leiden", l_out)
+    lab = dict(duckdb.sql(
+        f"SELECT vid, label FROM read_parquet('{l_out}/*.parquet')"
+    ).fetchall())
+    assert lab[0] == lab[1] == lab[2] != lab[3]
+    assert lab[3] == lab[4] == lab[5]
+    assert lab[7] == lab[8] not in (lab[0], lab[3])
+
+    o_out = str(tmp_path / "o_out")
+    run("onion", o_out)
+    import networkx as nx
+    layers = dict(duckdb.sql(
+        f"SELECT vid, layer FROM read_parquet('{o_out}/*.parquet')"
+    ).fetchall())
+    G = nx.Graph([(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3), (7, 8)])
+    assert layers == nx.onion_layers(G)
+
+    snap.write_text("0 1\n0 2\n0 3\n0 4\n0 5\n")  # star K1,5
+    c_out = str(tmp_path / "c_out")
+    run("constraint", c_out)
+    cons = dict(duckdb.sql(
+        f"SELECT vid, constraint_score FROM read_parquet('{c_out}/*.parquet')"
+    ).fetchall())
+    assert cons[0] == pytest.approx(0.2, abs=1e-9)
+    assert all(cons[i] == pytest.approx(1.0, abs=1e-9) for i in range(1, 6))
