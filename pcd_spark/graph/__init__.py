@@ -7,7 +7,11 @@ from pcd_spark.graph.edges import (  # noqa: F401
 from pcd_spark.graph.pagerank import pagerank  # noqa: F401
 from pcd_spark.graph.cc import connected_components  # noqa: F401
 from pcd_spark.graph.lpa import label_propagation  # noqa: F401
-from pcd_spark.graph.triangles import triangle_counts, approx_triangle_total  # noqa: F401
+from pcd_spark.graph.triangles import (  # noqa: F401
+    approx_triangle_total,
+    triangle_counts,
+    triangle_list,
+)
 from pcd_spark.graph.quality import (  # noqa: F401
     burt_constraint,
     conductance_terms,
@@ -49,3 +53,4 @@ from pcd_spark.graph.nibble import local_community  # noqa: F401
 from pcd_spark.graph.matching import maximal_matching, coarsen_graph  # noqa: F401
 from pcd_spark.graph.densest import densest_subgraph  # noqa: F401
 from pcd_spark.graph.msf import minimum_spanning_forest  # noqa: F401
+from pcd_spark.graph.percolation import clique_percolation  # noqa: F401

@@ -118,6 +118,45 @@ def triangle_total(edges: DataFrame) -> int:
     return int(row["t"] or 0)
 
 
+def triangle_list(
+    edges: DataFrame, broadcast_degrees: bool | None = None
+) -> DataFrame:
+    """Every triangle exactly once as its SORTED vertex triple
+    (t1 < t2 < t3) — the enumeration K53 clique percolation consumes.
+    Same oriented-wedge plan as triangle_counts (each triangle emitted at
+    its lowest-(degree, vid) apex, closing edges broadcast when they fit);
+    the sort is an array_sort over three elements, overflow-safe for
+    signed hashed vids (no arithmetic trick)."""
+    e = edges.persist()
+    canon = canonical_undirected(e).persist()
+    canon.count()
+    o = _oriented(canon, broadcast_degrees).persist()
+    n_o = o.count()
+    a = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    b = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = a.join(b, "a").filter(F.col("b") != F.col("c"))
+    closing = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    closing = (
+        F.broadcast(closing)
+        if n_o <= _BCAST_CLOSING_MAX_E
+        else closing.hint("shuffle_hash")
+    )
+    srt = F.array_sort(F.array("a", "b", "c"))
+    out = (
+        wedges.join(closing, ["b", "c"])
+        .select(
+            srt.getItem(0).alias("t1"),
+            srt.getItem(1).alias("t2"),
+            srt.getItem(2).alias("t3"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    o.unpersist()
+    canon.unpersist()
+    e.unpersist()
+    return out
+
+
 def approx_triangle_total(
     edges: DataFrame,
     p_num: int = 1,

@@ -150,7 +150,7 @@ _PRIORITY = [
     "k44_local_community", "k45_heavy_matching", "k46_coarsen",
     "k47_densest_subgraph", "k48_doulion_triangles", "k8b_incremental_edges",
     "k49_msf", "k50_leiden_communities", "k51_onion_layers",
-    "k52_burt_constraint",
+    "k52_burt_constraint", "k53_clique_percolation",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -1679,3 +1679,97 @@ def k52(spark, sf):
         (F.col("src") < 2000) & (F.col("dst") < 2000)
     )
     return burt_constraint(e).orderBy("vid")
+
+
+@g(
+    "k53_clique_percolation",
+    """WITH RECURSIVE
+        canon AS (
+          SELECT src, dst FROM (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+          WHERE SUBSTRING(MD5(CAST(src AS VARCHAR) || ':' ||
+                              CAST(dst AS VARCHAR)), 1, 1) < 'c'),
+        both_dir AS (SELECT src, dst FROM canon
+                     UNION ALL SELECT dst, src FROM canon),
+        deg AS (SELECT src AS vid, COUNT(*) AS d FROM both_dir GROUP BY src),
+        oriented AS (
+          SELECT CASE WHEN (ds.d, c.src) < (dd.d, c.dst) THEN c.src ELSE c.dst END AS u,
+                 CASE WHEN (ds.d, c.src) < (dd.d, c.dst) THEN c.dst ELSE c.src END AS v
+          FROM canon c
+          JOIN deg ds ON ds.vid = c.src
+          JOIN deg dd ON dd.vid = c.dst),
+        tris AS (
+          SELECT w1.u AS a, w1.v AS b, w2.v AS c
+          FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u AND w1.v <> w2.v
+          JOIN oriented e ON e.u = w1.v AND e.v = w2.v),
+        tid AS (
+          SELECT t1, t2, t3,
+                 LPAD(CAST(t1 AS VARCHAR), 8, '0') || ':' ||
+                 LPAD(CAST(t2 AS VARCHAR), 8, '0') || ':' ||
+                 LPAD(CAST(t3 AS VARCHAR), 8, '0') AS id
+          FROM (SELECT LEAST(a, b, c) AS t1,
+                       a + b + c - LEAST(a, b, c) - GREATEST(a, b, c) AS t2,
+                       GREATEST(a, b, c) AS t3
+                FROM tris)),
+        tedge AS (SELECT id, t1 AS lo, t2 AS hi FROM tid
+                  UNION ALL SELECT id, t1, t3 FROM tid
+                  UNION ALL SELECT id, t2, t3 FROM tid),
+        adj AS (SELECT DISTINCT x.id AS a, y.id AS b
+                FROM tedge x JOIN tedge y
+                  ON x.lo = y.lo AND x.hi = y.hi AND x.id <> y.id),
+        reach(v, u) AS (
+          SELECT id, id FROM tid
+          UNION
+          SELECT r.v, a.b FROM reach r JOIN adj a ON a.a = r.u),
+        comp AS (SELECT v AS id, MIN(u) AS cid FROM reach GROUP BY v),
+        memb AS (SELECT DISTINCT cid, vid
+                 FROM (SELECT c.cid, UNNEST([t.t1, t.t2, t.t3]) AS vid
+                       FROM comp c JOIN tid t ON t.id = c.id))
+        SELECT vid,
+               CAST(SPLIT_PART(cid, ':', 1) AS BIGINT) AS c_t1,
+               CAST(SPLIT_PART(cid, ':', 2) AS BIGINT) AS c_t2,
+               CAST(SPLIT_PART(cid, ':', 3) AS BIGINT) AS c_t3
+        FROM memb
+        ORDER BY vid, c_t1, c_t2, c_t3""",
+)
+def k53(spark, sf):
+    """K53: overlapping communities via 3-clique percolation [PUB: Palla et
+    al. 2005] on the REPEATED-co-occurrence backbone (pairs co-ordered >= 2
+    times — the K49 strongest-ties idea) thinned by the deterministic
+    md5-hex edge sample (x15's engine-portable hash rule, keep < 'c' = 3/4).
+    Both filters are the honest CPM scale story: the Σ m_e² triangle-
+    adjacency term and the recursive-closure oracle are quadratic IN THE
+    COMMUNITY SIZE, so CPM runs on sparsified cohorts by design (the raw
+    co-occurrence graph is order-clique-dense: 126k triangles at sf0.001 =
+    a 10^10-row closure; the backbone has ~1.3k). One row per (vertex,
+    community) membership — vertices CAN appear in several communities, the
+    overlap K5/K13/K50 cannot express. Engine: K6 triangle enumeration →
+    shared-edge adjacency → K4 connected components; oracle: the same
+    construction in ANSI SQL with recursive-CTE reachability.
+    nx.k_clique_communities member-set parity in tests/test_round3_ops.py."""
+    from pcd_spark.graph import clique_percolation
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .filter(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("src").cast("string"),
+                                F.col("dst").cast("string"))
+                ), 1, 1
+            ) < "c"
+        )
+        .select("src", "dst")
+    )
+    return clique_percolation(e).orderBy("vid", "c_t1", "c_t2", "c_t3")

@@ -118,6 +118,9 @@ PLAN_SWEEP = [
 # is the internal jobs (contingency hash agg, conditional-sum agg,
 # supersteps), whose plan discipline is pinned by the functions they share
 # with swept queries (k1 degrees, k6 join shape, k3 superstep).
+# k53_clique_percolation eagerly localCheckpoints its triangle list and
+# result (the K6/K4 composition), so it joins the excluded-from-sweep set
+# below; its component plans are the swept/asserted K6 and K4 shapes.
 # x20_boilerplate_grams eagerly localCheckpoints its gram table (a job),
 # so it joins x4/x10/x23 in the excluded-from-sweep set; its no-cartesian
 # property holds by construction (explode + equi-joins only). Same for

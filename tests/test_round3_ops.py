@@ -1061,3 +1061,83 @@ class TestBurtConstraint:
         assert got[0] == pytest.approx(0.2, abs=1e-9)
         for leaf in range(1, 6):
             assert got[leaf] == pytest.approx(1.0, abs=1e-9)
+
+
+# ---- K53 clique percolation ---------------------------------------------------
+
+
+class TestCliquePercolation:
+    @staticmethod
+    def _comms(rows) -> set[frozenset[int]]:
+        out: dict[tuple, set[int]] = {}
+        for r in rows:
+            out.setdefault((r["c_t1"], r["c_t2"], r["c_t3"]), set()).add(
+                r["vid"]
+            )
+        return {frozenset(v) for v in out.values()}
+
+    @pytest.mark.parametrize(
+        "make",
+        [
+            lambda: nx.karate_club_graph(),
+            lambda: nx.gnp_random_graph(40, 0.15, seed=13),
+            lambda: nx.ring_of_cliques(4, 5),
+        ],
+        ids=["karate", "gnp", "ring_of_cliques"],
+    )
+    def test_matches_networkx_member_sets(self, spark, make):
+        from pcd_spark.graph import clique_percolation
+
+        G = make()
+        edges = sorted((min(u, v), max(u, v)) for u, v in G.edges())
+        got = self._comms(
+            clique_percolation(edges_df(spark, edges)).collect()
+        )
+        want = {
+            frozenset(c) for c in nx.community.k_clique_communities(G, 3)
+        }
+        assert got == want
+
+    def test_overlap_edge_share_merges_vertex_share_does_not(self, spark):
+        from pcd_spark.graph import clique_percolation
+
+        # triangles (0,1,2) and (1,2,3) share edge 1-2 -> ONE community
+        # {0,1,2,3}; triangle (3,4,5) shares only vertex 3 -> its own
+        # community. Vertex 3 belongs to BOTH (the overlap LPA/Louvain
+        # cannot express).
+        edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)]
+        stats: dict = {}
+        rows = clique_percolation(
+            edges_df(spark, edges), stats_out=stats
+        ).collect()
+        assert self._comms(rows) == {
+            frozenset({0, 1, 2, 3}),
+            frozenset({3, 4, 5}),
+        }
+        assert stats["triangles"] == 3
+        assert stats["communities"] == 2
+        assert sum(1 for r in rows if r["vid"] == 3) == 2  # overlapping
+
+    def test_triangle_free_graph_has_no_communities(self, spark):
+        from pcd_spark.graph import clique_percolation
+
+        rows = clique_percolation(
+            edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])  # 4-cycle
+        ).collect()
+        assert rows == []
+
+    def test_triangle_list_matches_networkx(self, spark):
+        from pcd_spark.graph import triangle_list
+
+        G = nx.gnp_random_graph(30, 0.2, seed=21)
+        edges = sorted((min(u, v), max(u, v)) for u, v in G.edges())
+        got = {
+            (r["t1"], r["t2"], r["t3"])
+            for r in triangle_list(edges_df(spark, edges)).collect()
+        }
+        want = {
+            tuple(sorted(c))
+            for c in nx.enumerate_all_cliques(G)
+            if len(c) == 3
+        }
+        assert got == want
