@@ -9,9 +9,9 @@ queries()     — one entry per implemented operator from SURVEY.md §2
                 batch twins, text/dedup/similarity/vector ops X1–X27 /
                 V1–V14 incl. X26 segment-dedup rewrite, X27 source mixing,
                 V13 Matryoshka re-rank and V14 SemDeDup, multimodal, graph
-                algorithms K1–K47 incl. K45 heavy-edge matching, K46
-                coarsening and K47 densest subgraph), each
-                (spark, sf_dir) -> DataFrame.
+                algorithms K1–K53 incl. K48 DOULION, K49 MSF, K50 Leiden,
+                K51 onion decomposition, K52 Burt constraint and K53
+                3-clique percolation), each (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent ANSI SQL per query where expressible;
                 iterative-to-convergence algorithms (PageRank/LPA) and the
                 synthesized-corpus pipeline are rows-only by design — their
