@@ -225,63 +225,92 @@ def onion_layers(
         edges.unpersist()
         return spark.createDataFrame(res, "vid long, layer int")
 
-    assigned = None  # accumulated (vid, layer)
-    alive = (
+    # ONE job per layer, the K7 superstep discipline: state (vid, deg,
+    # layer) carries assigned (layer > 0, deg frozen) and remaining
+    # (layer == 0) rows in a single table; the next layer's min-remaining-
+    # degree and remaining-count Allreduce RIDES the eager localCheckpoint
+    # via observe() instead of costing a separate scalar job. (Measured at
+    # sf0.1, 1.3M edges: the three-jobs-per-layer form took 152 s; this
+    # form is the same rule with the scalar and the assigned-set fused in.)
+    from pyspark.sql import Observation
+
+    from pcd_spark.graph.superstep import reset_plan_stats
+
+    def _watch(df: DataFrame, tag: str):
+        obs = Observation(tag)
+        ck = df.observe(
+            obs,
+            F.min(F.when(F.col("layer") == 0, F.col("deg"))).alias("mdeg"),
+            F.sum((F.col("layer") == 0).cast("long")).alias("nv"),
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        return reset_plan_stats(ck), got["mdeg"], int(got["nv"] or 0)
+
+    state, mdeg, nv = _watch(
         sym.groupBy(F.col("src").alias("vid"))
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
+        .select("vid", "deg", F.lit(0).alias("layer")),
+        "onion_init",
     )
     core = 1
     layer = 0
     while layer < max_iter:
-        layer += 1
-        row = alive.agg(
-            F.min("deg").alias("mdeg"), F.count(F.lit(1)).alias("nv")
-        ).first()
-        if row["nv"] == 0:
-            layer -= 1
+        if nv == 0:
             break
-        core = max(core, int(row["mdeg"]))
-        doomed = alive.filter(F.col("deg") <= core).select(
-            "vid", F.lit(layer).alias("layer")
+        layer += 1
+        core = max(core, int(mdeg))
+        upd = state.select(
+            "vid",
+            "deg",
+            F.when(
+                (F.col("layer") == 0) & (F.col("deg") <= F.lit(core)),
+                F.lit(layer),
+            )
+            .otherwise(F.col("layer"))
+            .alias("layer"),
         )
-        assigned = (
-            doomed if assigned is None else assigned.unionByName(doomed)
-        ).localCheckpoint(eager=True)
-        survivors = alive.join(doomed.select("vid"), "vid", "leftanti").select(
-            "vid"
+        # INCREMENTAL degree maintenance: a remaining vertex's new degree is
+        # deg − |peeled neighbors this layer| — one semi-join + hash-agg
+        # over only the edges INCIDENT TO THE PEELED BATCH, so total degree
+        # work across all layers is O(E), not O(E·layers) (the recompute-
+        # from-scratch form rescanned the 1.3M-edge table ~60 times at
+        # sf0.1). Vertices decremented to 0 peel next layer (the nx rule).
+        peeled = upd.filter(F.col("layer") == F.lit(layer)).select("vid")
+        dec = (
+            sym.join(
+                peeled.withColumnRenamed("vid", "src").hint("shuffle_hash"),
+                "src",
+                "leftsemi",
+            )
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("_dec"))
         )
-        live = sym.join(
-            survivors.withColumnRenamed("vid", "src").hint("shuffle_hash"),
-            "src",
-            "leftsemi",
-        ).join(
-            survivors.withColumnRenamed("vid", "dst").hint("shuffle_hash"),
-            "dst",
-            "leftsemi",
+        nxt = upd.join(dec.hint("shuffle_hash"), "vid", "left").select(
+            "vid",
+            F.when(
+                F.col("layer") == 0,
+                F.col("deg") - F.coalesce("_dec", F.lit(0)),
+            )
+            .otherwise(F.col("deg"))
+            .alias("deg"),
+            "layer",
         )
-        deg = live.groupBy(F.col("src").alias("vid")).agg(
-            F.count(F.lit(1)).alias("deg")
-        )
-        # survivors whose every neighbor peeled keep a row with degree 0 so
-        # they get a layer (nx decrements them to 0 and peels them next)
-        alive = (
-            survivors.join(deg, "vid", "left")
-            .select("vid", F.coalesce("deg", F.lit(0)).alias("deg"))
-            .localCheckpoint(eager=True)
-        )
+        old = state
+        state, mdeg, nv = _watch(nxt, f"onion_{layer}")
+        old.unpersist()
     else:
-        raise RuntimeError(
-            f"onion_layers: peeling not finished after max_iter={max_iter} "
-            "layers — chain-like graphs need O(V) layers; raise max_iter"
-        )
+        if nv != 0:
+            raise RuntimeError(
+                f"onion_layers: peeling not finished after max_iter="
+                f"{max_iter} layers — chain-like graphs need O(V) layers; "
+                "raise max_iter"
+            )
     if stats_out is not None:
         stats_out["layers"] = layer
         stats_out["max_core"] = core
-    out = (assigned or alive.limit(0).select(
-        "vid", F.lit(0).alias("layer")
-    )).select("vid", F.col("layer").cast("int").alias("layer"))
-    out = out.localCheckpoint(eager=True)
+    out = state.select(
+        "vid", F.col("layer").cast("int").alias("layer")
+    ).localCheckpoint(eager=True)
     sym.unpersist()
     edges.unpersist()
     return out
