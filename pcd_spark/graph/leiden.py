@@ -211,6 +211,7 @@ def leiden(
     num_parts: int | None = None,
     n_classes: int = 2,
     canonical_labels: bool = True,
+    small_graph_cutoff: int = 200_000,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """Leiden communities over an undirected(-ized) edge table.
@@ -220,15 +221,51 @@ def leiden(
     per-level modularity, community/sub-community counts and round counts.
     Guarantee (tested): every returned community induces a CONNECTED
     subgraph — the property Louvain (K13) lacks.
+
+    Graphs — or, mid-run, coarse levels — at or below `small_graph_cutoff`
+    undirected edges run the identical rule on the driver (result-identical
+    for integer-valued weights; see the collapse note at module end). Set
+    small_graph_cutoff=0 to force the distributed path.
     """
+    from pcd_spark.graph.louvain import _integer_weighted
     from pcd_spark.graph.superstep import reset_plan_stats
 
+    spark = edges.sparkSession
     edges = edges.persist()
     p = num_parts or adaptive_num_parts(edges)
     adj = _sym_adj(edges, weight_col).repartition(p, "src").persist()
     total = float(adj.agg(F.sum("w")).first()[0] or 0.0)  # = 2m
     if total <= 0:
         raise ValueError("leiden: edge table is empty")
+    n_dir = adj.count()
+    int_ok = small_graph_cutoff > 0 and _integer_weighted(adj)
+
+    def _finish_driver(coarse_adj, start_level, q_prev, init):
+        ed = {(r["src"], r["dst"]): r["w"] for r in coarse_adj.collect()}
+        lvls: list[dict] = []
+        lab = _leiden_driver_levels(
+            spark, ed, total, max_levels, max_rounds, min_gain,
+            n_classes, lvls, start_level=start_level, q_prev=q_prev,
+            init=init,
+        )
+        return lab, lvls
+
+    if int_ok and n_dir // 2 <= small_graph_cutoff:
+        lab, lvls = _finish_driver(adj, 0, None, None)
+        adj.unpersist()
+        edges.unpersist()
+        if stats_out is not None:
+            stats_out["levels"] = lvls
+            acc = [lv for lv in lvls if lv.get("accepted")]
+            stats_out["q"] = acc[-1]["q"] if acc else 0.0
+        if canonical_labels:
+            rep: dict = {}
+            for v, l in lab.items():
+                rep[l] = v if l not in rep else min(rep[l], v)
+            items = [(int(v), int(rep[l])) for v, l in lab.items()]
+        else:
+            items = [(int(v), int(l)) for v, l in lab.items()]
+        return spark.createDataFrame(sorted(items), "vid long, label long")
 
     # assign: orig vid -> current coarse vertex (REFINED-sub id space);
     # labels: orig vid -> macro community of the last ACCEPTED level.
@@ -329,9 +366,27 @@ def leiden(
             .repartition(p, "src")
             .persist()
         )
-        new_adj.count()
+        n_new = new_adj.count()
         adj.unpersist()
         adj = new_adj
+        if int_ok and n_new // 2 <= small_graph_cutoff:
+            # the coarse graph fits one task: finish on the driver (only the
+            # small coarse graph and its macro init are collected — the
+            # orig-vid assign/labels maps stay distributed)
+            init_map = {
+                r["vid"]: r["comm"] for r in init_next.collect()
+            }
+            lab, lvls = _finish_driver(adj, level + 1, q_prev, init_map)
+            levels.extend(lvls)
+            if lab is not None:
+                map_df = spark.createDataFrame(
+                    [(int(c), int(l)) for c, l in lab.items()],
+                    "comm long, nc long",
+                )
+                labels = assign.join(F.broadcast(map_df), "comm").select(
+                    "vid", F.col("nc").alias("comm")
+                )
+            break
 
     adj.unpersist()
     edges.unpersist()
@@ -344,3 +399,160 @@ def leiden(
         rep = out.groupBy("label").agg(F.min("vid").alias("rep"))
         out = out.join(rep, "label").select("vid", F.col("rep").alias("label"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Small-graph collapse (round 3) — the K13 driver mirror extended with the
+# refinement phase. Same exactness argument (louvain.py: integer-valued
+# weights => every sum is reorder-exact; gates are Spark's own xxhash64
+# values), same activation: whole graph at or below small_graph_cutoff
+# undirected edges, or mid-run once coarsening shrinks below it. Dual-path
+# equality pinned in tests/test_leiden.py; the k50 sf0.01 golden hash was
+# verified UNCHANGED when the collapse landed.
+# ---------------------------------------------------------------------------
+
+
+def _refine_py(
+    nbrs: dict,
+    k: dict,
+    total: float,
+    macro: dict,
+    gates: dict,
+    max_rounds: int,
+    n_classes: int,
+    stats: dict | None = None,
+) -> dict:
+    """Driver mirror of _refine_round's loop: singleton-only merges into
+    same-macro neighbor sub-communities, score > EPS, smallest-sub ties,
+    synchronous application, quiet-cycle convergence."""
+    sub = {v: v for v in k}
+    size = {v: 1 for v in k}
+    sigma = {v: kv for v, kv in k.items()}
+    quiet = 0
+    rounds = 0
+    for rnd in range(max_rounds):
+        active = rnd % n_classes
+        cycle = rnd // n_classes
+        decisions = {}
+        for v, kv in k.items():
+            if gates[v][cycle] != active or size[sub[v]] != 1:
+                continue
+            mv = macro[v]
+            kin: dict = {}
+            for n, w in nbrs.get(v, ()):
+                if macro[n] != mv:
+                    continue
+                c = sub[n]
+                kin[c] = kin.get(c, 0.0) + w
+            own = sub[v]
+            best = None
+            for c, kc in kin.items():
+                if c == own:
+                    continue
+                s = kc - kv * sigma[c] / total
+                if s > _EPS:
+                    key = (-s, c)
+                    if best is None or key < best:
+                        best = key
+            if best is not None:
+                decisions[v] = best[1]
+        for v, c in decisions.items():
+            old = sub[v]
+            kv = k[v]
+            size[old] -= 1
+            sigma[old] -= kv
+            size[c] = size.get(c, 0) + 1
+            sigma[c] = sigma.get(c, 0.0) + kv
+            sub[v] = c
+        rounds = rnd + 1
+        quiet = quiet + 1 if not decisions else 0
+        if quiet >= n_classes:
+            break
+    if stats is not None:
+        stats["refine_rounds"] = rounds
+    return sub
+
+
+def _leiden_driver_levels(
+    spark,
+    edges: dict,
+    total: float,
+    max_levels: int,
+    max_rounds: int,
+    min_gain: float,
+    n_classes: int,
+    levels_out: list,
+    start_level: int = 0,
+    q_prev: float | None = None,
+    init: dict | None = None,
+) -> dict | None:
+    """Run the remaining Leiden levels on the driver over the directed
+    doubled-loop edge dict. Returns start-vid -> macro label of the last
+    ACCEPTED level, or None if no driver level was accepted (mid-run switch
+    whose first level fails the gain bar — the caller keeps its own last
+    accepted labels)."""
+    from pcd_spark.graph.louvain import (
+        _adj_maps,
+        _coarsen_py,
+        _collect_gates,
+        _local_move_py,
+        _modularity_py,
+    )
+
+    cycles = (max_rounds + n_classes - 1) // n_classes
+    _, k0 = _adj_maps(edges.items())
+    assign = {v: v for v in k0}
+    labels = dict(assign) if init is None else None
+    init_map = init
+    for level in range(start_level, max_levels):
+        nbrs, k = _adj_maps(edges.items())
+        gates = _collect_gates(spark, list(k), n_classes, cycles)
+        lstats: dict = {}
+        comm = _local_move_py(
+            nbrs, k, total, gates, max_rounds, n_classes,
+            stats=lstats, init=init_map,
+        )
+        q = _modularity_py(edges, k, comm, total)
+        n_comms = len(set(comm.values()))
+        n_verts = len(k)
+        if q_prev is not None and q - q_prev < min_gain:
+            levels_out.append(
+                {
+                    "level": level, "q": q, "vertices": n_verts,
+                    "communities": n_comms,
+                    "rounds": lstats.get("rounds", 0),
+                    "accepted": False, "driver": True,
+                }
+            )
+            break
+        labels = {ov: comm[assign[ov]] for ov in assign}
+        q_prev = q
+        if n_comms == n_verts:
+            levels_out.append(
+                {
+                    "level": level, "q": q, "vertices": n_verts,
+                    "communities": n_comms,
+                    "rounds": lstats.get("rounds", 0),
+                    "accepted": True, "driver": True,
+                }
+            )
+            break
+        sub = _refine_py(
+            nbrs, k, total, comm, gates, max_rounds, n_classes, stats=lstats
+        )
+        n_sub = len(set(sub.values()))
+        levels_out.append(
+            {
+                "level": level, "q": q, "vertices": n_verts,
+                "communities": n_comms, "sub_communities": n_sub,
+                "rounds": lstats.get("rounds", 0),
+                "refine_rounds": lstats.get("refine_rounds", 0),
+                "accepted": True, "driver": True,
+            }
+        )
+        if n_sub == n_verts:
+            break
+        assign = {ov: sub[assign[ov]] for ov in assign}
+        init_map = {sub[v]: comm[v] for v in k}
+        edges = _coarsen_py(edges, sub)
+    return labels

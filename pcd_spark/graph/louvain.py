@@ -297,6 +297,7 @@ def louvain(
     num_parts: int | None = None,
     n_classes: int = 2,
     canonical_labels: bool = True,
+    small_graph_cutoff: int = 200_000,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """Louvain communities over an undirected(-ized) edge table.
@@ -304,7 +305,14 @@ def louvain(
     Returns DataFrame(vid: long, label: long); with canonical_labels each
     community is labeled by its smallest member vid (CC-style ids, stable
     across level bookkeeping). stats_out collects per-level modularity.
+
+    Graphs — or, mid-run, COARSE LEVELS — at or below `small_graph_cutoff`
+    undirected edges run the identical rule on the driver (result-identical
+    for integer-valued weights; see the Small-graph collapse note below),
+    so the superstep fixed cost is only paid while the edge table doesn't
+    fit one task. Set small_graph_cutoff=0 to force the distributed path.
     """
+    spark = edges.sparkSession
     # persist the (possibly derived) input once: referenced by the
     # adaptive sizing count and the graph-normal-form build below
     edges = edges.persist()
@@ -313,6 +321,35 @@ def louvain(
     total = float(adj.agg(F.sum("w")).first()[0] or 0.0)  # = 2m
     if total <= 0:
         raise ValueError("louvain: edge table is empty")
+    n_dir = adj.count()
+    int_ok = small_graph_cutoff > 0 and _integer_weighted(adj)
+
+    levels: list[dict] = []
+
+    def _finish_driver(coarse_adj, start_level, q_prev):
+        ed = {
+            (r["src"], r["dst"]): r["w"] for r in coarse_adj.collect()
+        }
+        return _louvain_driver_levels(
+            spark, ed, total, max_levels, max_rounds, min_gain,
+            n_classes, levels, start_level=start_level, q_prev=q_prev,
+        )
+
+    if int_ok and n_dir // 2 <= small_graph_cutoff:
+        lab = _finish_driver(adj, 0, None)
+        adj.unpersist()
+        edges.unpersist()
+        if stats_out is not None:
+            stats_out["levels"] = levels
+            stats_out["q"] = levels[-1]["q"] if levels else 0.0
+        if canonical_labels:
+            rep: dict = {}
+            for v, l in lab.items():
+                rep[l] = v if l not in rep else min(rep[l], v)
+            items = [(int(v), int(rep[l])) for v, l in lab.items()]
+        else:
+            items = [(int(v), int(l)) for v, l in lab.items()]
+        return spark.createDataFrame(sorted(items), "vid long, label long")
 
     # global assignment orig-vid -> current coarse community; level-0 coarse
     # ids ARE original vids, and every coarsening keeps community ids from
@@ -324,7 +361,6 @@ def louvain(
     )
     assign = reset_plan_stats(assign.localCheckpoint(eager=True))
 
-    levels: list[dict] = []
     q_prev: float | None = None
     for level in range(max_levels):
         lstats: dict = {}
@@ -366,9 +402,22 @@ def louvain(
             .repartition(p, "src")
             .persist()
         )
-        new_adj.count()
+        n_new = new_adj.count()
         adj.unpersist()
         adj = new_adj
+        if int_ok and n_new // 2 <= small_graph_cutoff:
+            # the coarse graph fits one task: finish on the driver (only
+            # the SMALL coarse graph is collected — the orig-vid assign map
+            # stays distributed and is folded with one join)
+            lab = _finish_driver(adj, level + 1, q_prev)
+            map_df = spark.createDataFrame(
+                [(int(c), int(l)) for c, l in lab.items()],
+                "comm long, nc long",
+            )
+            assign = assign.join(F.broadcast(map_df), "comm").select(
+                "vid", F.col("nc").alias("comm")
+            )
+            break
 
     adj.unpersist()
     edges.unpersist()
@@ -380,3 +429,196 @@ def louvain(
         rep = out.groupBy("label").agg(F.min("vid").alias("rep"))
         out = out.join(rep, "label").select("vid", F.col("rep").alias("label"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Small-graph collapse (round 3): graphs / coarse levels at or below
+# `small_graph_cutoff` undirected edges run the SAME class-scheduled rule on
+# the driver. Result-identical by construction for INTEGER-VALUED weights
+# (the default unit weights and every co-occurrence multiplicity): all
+# k/sigma/k_in quantities are then integers below 2^53, so Python floats and
+# JVM doubles agree exactly under any summation order, and the single
+# non-exact expression — score = k_in − k·sigma/2m — is the same two-op
+# IEEE sequence (one exact product < 2^53, one correctly-rounded divide) on
+# both paths. Activation gates are Spark's own xxhash64 values (one O(V·C)
+# job per level — the K18 extract-hashes-from-Spark discipline), so the
+# move schedule is bit-identical too. Graphs with non-integer weights stay
+# on the distributed path. Equality across both paths is pinned in
+# tests/test_louvain.py / tests/test_leiden.py, and the sf0.01 golden
+# hashes (k13/k50) were verified UNCHANGED when the collapse landed.
+# ---------------------------------------------------------------------------
+
+
+def _integer_weighted(adj: DataFrame) -> bool:
+    """True iff every weight is integer-valued (and exactly representable):
+    the precondition for the driver collapse's exactness argument."""
+    bad = adj.filter(
+        (F.col("w") != F.round("w")) | (F.abs("w") >= F.lit(2.0 ** 52))
+    ).limit(1).count()
+    return bad == 0
+
+
+def _collect_gates(spark, vids: list[int], n_classes: int, cycles: int):
+    """pmod(xxhash64(vid, cycle), n_classes) for every (vid, cycle) — from
+    Spark itself, so driver and distributed schedules are bit-identical."""
+    df = spark.createDataFrame([(int(v),) for v in vids], "vid long")
+    row_gates = df.select(
+        "vid",
+        *[
+            F.pmod(F.xxhash64("vid", F.lit(c)), F.lit(n_classes))
+            .cast("int")
+            .alias(f"c{c}")
+            for c in range(cycles)
+        ],
+    ).collect()
+    return {
+        r["vid"]: [r[f"c{c}"] for c in range(cycles)] for r in row_gates
+    }
+
+
+def _local_move_py(
+    nbrs: dict,
+    k: dict,
+    total: float,
+    gates: dict,
+    max_rounds: int,
+    n_classes: int,
+    stats: dict | None = None,
+    init: dict | None = None,
+) -> dict:
+    """Driver mirror of _local_move_phase: synchronous class-gated rounds,
+    decisions from the pre-round state, ties to the smallest candidate
+    community, quiet for a full cycle => converged."""
+    comm = dict(init) if init is not None else {v: v for v in k}
+    sigma: dict = {}
+    for v, kv in k.items():
+        c = comm[v]
+        sigma[c] = sigma.get(c, 0.0) + kv
+    quiet = 0
+    rounds = 0
+    for rnd in range(max_rounds):
+        active = rnd % n_classes
+        cycle = rnd // n_classes
+        decisions = {}
+        for v, kv in k.items():
+            if gates[v][cycle] != active:
+                continue
+            kin: dict = {}
+            for n, w in nbrs.get(v, ()):
+                cn = comm[n]
+                kin[cn] = kin.get(cn, 0.0) + w
+            own_c = comm[v]
+            own_score = (
+                kin.get(own_c, 0.0) - kv * (sigma[own_c] - kv) / total
+            )
+            best = None
+            for c, kc in kin.items():
+                if c == own_c:
+                    continue
+                s = kc - kv * sigma[c] / total
+                if s > own_score + _EPS:
+                    key = (-s, c)
+                    if best is None or key < best:
+                        best = key
+            if best is not None:
+                decisions[v] = best[1]
+        for v, c in decisions.items():
+            kv = k[v]
+            sigma[comm[v]] -= kv
+            sigma[c] = sigma.get(c, 0.0) + kv
+            comm[v] = c
+        rounds = rnd + 1
+        quiet = quiet + 1 if not decisions else 0
+        if quiet >= n_classes:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    return comm
+
+
+def _coarsen_py(edges: dict, comm: dict) -> dict:
+    """A'_cd = Σ A_ij over the directed doubled-loop representation — the
+    exact mirror of the distributed coarsening groupBy."""
+    out: dict = {}
+    for (i, j), w in edges.items():
+        key = (comm[i], comm[j])
+        out[key] = out.get(key, 0.0) + w
+    return out
+
+
+def _modularity_py(edges: dict, k: dict, comm: dict, total: float) -> float:
+    """Q over the doubled-loop representation, summed in sorted community
+    order (a FIXED order: the only non-integer sums in the collapse)."""
+    a_in: dict = {}
+    for (i, j), w in edges.items():
+        if comm[i] == comm[j]:
+            a_in[comm[i]] = a_in.get(comm[i], 0.0) + w
+    sigma: dict = {}
+    for v, kv in k.items():
+        c = comm[v]
+        sigma[c] = sigma.get(c, 0.0) + kv
+    q = 0.0
+    for c in sorted(sigma):
+        q += a_in.get(c, 0.0) / total - (sigma[c] / total) ** 2
+    return q
+
+
+def _adj_maps(edge_items):
+    """(nbrs excluding loops, k incl. loops) from directed (i,j)->w items."""
+    nbrs: dict = {}
+    k: dict = {}
+    for (i, j), w in edge_items:
+        k[i] = k.get(i, 0.0) + w
+        if i != j:
+            nbrs.setdefault(i, []).append((j, w))
+        if j not in k:
+            k[j] = k.get(j, 0.0)
+    return nbrs, k
+
+
+def _louvain_driver_levels(
+    spark,
+    edges: dict,
+    total: float,
+    max_levels: int,
+    max_rounds: int,
+    min_gain: float,
+    n_classes: int,
+    levels_out: list,
+    start_level: int = 0,
+    q_prev: float | None = None,
+) -> dict:
+    """Run the remaining Louvain levels on the driver over the directed
+    doubled-loop edge dict (the graph at `start_level` — ORIGINAL graph for
+    a full collapse, the current coarse graph for a mid-run switch; only
+    that small graph is ever collected, never the original assign map).
+    Returns start-level vid -> final label."""
+    cycles = (max_rounds + n_classes - 1) // n_classes
+    _, k0 = _adj_maps(edges.items())
+    assign = {v: v for v in k0}
+    for level in range(start_level, max_levels):
+        nbrs, k = _adj_maps(edges.items())
+        gates = _collect_gates(spark, list(k), n_classes, cycles)
+        lstats: dict = {}
+        comm = _local_move_py(
+            nbrs, k, total, gates, max_rounds, n_classes, stats=lstats
+        )
+        q = _modularity_py(edges, k, comm, total)
+        n_comms = len(set(comm.values()))
+        n_verts = len(k)
+        levels_out.append(
+            {
+                "level": level, "q": q, "vertices": n_verts,
+                "communities": n_comms, "rounds": lstats.get("rounds", 0),
+                "driver": True,
+            }
+        )
+        if q_prev is not None and q - q_prev < min_gain:
+            break
+        for ov in assign:
+            assign[ov] = comm[assign[ov]]
+        q_prev = q
+        if n_comms == n_verts:
+            break
+        edges = _coarsen_py(edges, comm)
+    return assign

@@ -163,3 +163,31 @@ def test_leiden_handles_negative_vids(spark, graphs):
     _assert_all_connected(G, comms)
     q = nx.community.modularity(G, list(comms.values()), weight=None)
     assert q >= 0.40
+
+
+def test_leiden_driver_and_distributed_paths_agree(spark, graphs):
+    """The small-graph collapse must be RESULT-IDENTICAL to the distributed
+    path (same Spark-extracted gates, integer-exact arithmetic, tie-breaks)
+    — including the refinement phase and the aggregate-level P_init."""
+    for edges in [
+        graphs["karate"]["edges"],
+        [((u - 17) * 3, (v - 17) * 3) for u, v in graphs["karate"]["edges"]],
+    ]:
+        df = edges_df(spark, edges)
+        fast = {(r["vid"], r["label"]) for r in leiden(df).collect()}
+        dist = {
+            (r["vid"], r["label"])
+            for r in leiden(df, small_graph_cutoff=0).collect()
+        }
+        assert fast == dist
+
+
+def test_leiden_dual_path_weighted_integer(spark):
+    wedges = [(0, 1, 10.0), (1, 2, 1.0), (2, 3, 10.0)]
+    df = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    a = {(r["vid"], r["label"]) for r in leiden(df, weight_col="weight").collect()}
+    b = {
+        (r["vid"], r["label"])
+        for r in leiden(df, weight_col="weight", small_graph_cutoff=0).collect()
+    }
+    assert a == b

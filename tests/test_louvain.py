@@ -142,3 +142,51 @@ def test_louvain_handles_negative_vids(spark, graphs):
     G = nx.Graph(edges)
     q = nx.community.modularity(G, list(comm.values()), weight=None)
     assert q >= 0.40
+
+
+@pytest.mark.parametrize(
+    "name", ["karate", "two_cliques"], ids=["karate", "two_cliques"]
+)
+def test_louvain_driver_and_distributed_paths_agree(spark, graphs, name):
+    """The small-graph collapse must be RESULT-IDENTICAL to the distributed
+    path: same class schedule (gates extracted from Spark's xxhash64), same
+    integer-exact arithmetic, same tie-breaks. Also pinned on a weighted
+    integer graph and signed vids below."""
+    g = graphs[name]
+    df = edges_df(spark, g["edges"])
+    fast = {(r["vid"], r["label"]) for r in louvain(df).collect()}
+    dist = {
+        (r["vid"], r["label"])
+        for r in louvain(df, small_graph_cutoff=0).collect()
+    }
+    assert fast == dist
+
+
+def test_louvain_dual_path_weighted_and_signed(spark):
+    wedges = [(0, 1, 10.0), (1, 2, 1.0), (2, 3, 10.0)]
+    df = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    a = {(r["vid"], r["label"]) for r in louvain(df, weight_col="weight").collect()}
+    b = {
+        (r["vid"], r["label"])
+        for r in louvain(df, weight_col="weight", small_graph_cutoff=0).collect()
+    }
+    assert a == b
+    sedges = [((u - 2) * 5, (v - 2) * 5) for u, v in [(0, 1), (1, 2), (2, 3), (3, 4)]]
+    sdf = spark.createDataFrame(sedges, "src long, dst long")
+    a = {(r["vid"], r["label"]) for r in louvain(sdf).collect()}
+    b = {(r["vid"], r["label"]) for r in louvain(sdf, small_graph_cutoff=0).collect()}
+    assert a == b
+
+
+def test_louvain_noninteger_weights_stay_distributed(spark):
+    # non-integer weights void the collapse's exactness argument — the
+    # driver path must refuse and the distributed path must run (observable
+    # only via correctness here; the gate itself is _integer_weighted)
+    from pcd_spark.graph.louvain import _integer_weighted, _sym_adj
+
+    wedges = [(0, 1, 0.5), (1, 2, 0.25), (2, 3, 0.5)]
+    df = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    assert not _integer_weighted(_sym_adj(df, "weight"))
+    rows = louvain(df, weight_col="weight").collect()
+    comm = _communities(rows)
+    assert comm == {0: {0, 1}, 2: {2, 3}}
