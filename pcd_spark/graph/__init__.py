@@ -28,7 +28,12 @@ from pcd_spark.graph.bipartite import (  # noqa: F401
 )
 from pcd_spark.graph.louvain import louvain  # noqa: F401
 from pcd_spark.graph.leiden import leiden  # noqa: F401
-from pcd_spark.graph.sssp import shortest_paths  # noqa: F401
+from pcd_spark.graph.sssp import (  # noqa: F401
+    closeness_centrality,
+    landmark_distances,
+    shortest_paths,
+)
+from pcd_spark.graph.temporal import temporal_reachability  # noqa: F401
 from pcd_spark.graph.hits import hits  # noqa: F401
 from pcd_spark.graph.linkpred import (  # noqa: F401
     degree_assortativity,

@@ -151,6 +151,9 @@ _PRIORITY = [
     "k47_densest_subgraph", "k48_doulion_triangles", "k8b_incremental_edges",
     "k49_msf", "k50_leiden_communities", "k51_onion_layers",
     "k52_burt_constraint", "k53_clique_percolation",
+    # round-3 fifth-continuation batch (this session), SQL-oracled,
+    # awaiting a future rotation once hash-green:
+    "k54_temporal_reachability", "k55_closeness",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

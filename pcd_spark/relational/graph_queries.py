@@ -1773,3 +1773,125 @@ def k53(spark, sf):
         .select("src", "dst")
     )
     return clique_percolation(e).orderBy("vid", "c_t1", "c_t2", "c_t3")
+
+
+_TEMPORAL_INTER_SQL = f"""
+  SELECT DISTINCT o_custkey AS src, {SUPPLIER_OFFSET} + l_suppkey AS dst,
+                  CAST(epoch(o_orderdate) AS BIGINT) AS t
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey < 300
+"""
+
+
+@g(
+    "k54_temporal_reachability",
+    f"""WITH inter AS ({_TEMPORAL_INTER_SQL}),
+        sym AS (SELECT src, dst, t FROM inter
+                UNION SELECT dst, src, t FROM inter),
+        roots AS (SELECT DISTINCT src AS root FROM inter
+                  ORDER BY root LIMIT 3),
+        s0 AS (SELECT root, root AS vid, CAST(-1 AS BIGINT) AS arrival
+               FROM roots),
+        -- hop h: full-state x interactions with the time-respecting
+        -- predicate, then the MIN-arrival dominance merge (exactly the
+        -- engine's earliest-arrival rule; full-state vs frontier-only
+        -- emission is provably equivalent, see pcd_spark/graph/temporal.py)
+        m1 AS (SELECT s.root, e.dst AS vid, MIN(e.t) AS arrival
+               FROM s0 s JOIN sym e ON e.src = s.vid AND e.t >= s.arrival
+               GROUP BY s.root, e.dst),
+        s1 AS (SELECT root, vid, MIN(arrival) AS arrival FROM
+               (SELECT * FROM s0 UNION ALL SELECT * FROM m1)
+               GROUP BY root, vid),
+        m2 AS (SELECT s.root, e.dst AS vid, MIN(e.t) AS arrival
+               FROM s1 s JOIN sym e ON e.src = s.vid AND e.t >= s.arrival
+               GROUP BY s.root, e.dst),
+        s2 AS (SELECT root, vid, MIN(arrival) AS arrival FROM
+               (SELECT * FROM s1 UNION ALL SELECT * FROM m2)
+               GROUP BY root, vid),
+        m3 AS (SELECT s.root, e.dst AS vid, MIN(e.t) AS arrival
+               FROM s2 s JOIN sym e ON e.src = s.vid AND e.t >= s.arrival
+               GROUP BY s.root, e.dst),
+        s3 AS (SELECT root, vid, MIN(arrival) AS arrival FROM
+               (SELECT * FROM s2 UNION ALL SELECT * FROM m3)
+               GROUP BY root, vid)
+        SELECT root, vid, arrival FROM s3 WHERE vid <> root
+        ORDER BY root, vid""",
+)
+def k54(spark, sf):
+    """K54: time-respecting reachability with earliest arrival [PUB: Kempe
+    et al. 2000; Holme & Saramäki 2012] on the timestamped customer-supplier
+    interaction graph (an interaction = an order line, timed by
+    o_orderdate). Static reachability over-counts temporal influence: a
+    path c1-s1-c2 only transmits if s1 serves c2 AT OR AFTER serving c1 —
+    exactly the constraint supply-chain / contagion queries need. Bounded
+    cohort (custkey < 300, 3 smallest roots, <= 3 hops) keeps the oracle
+    CTE small; the engine (pcd_spark/graph/temporal.py) is frontier-only
+    and cohort-scales like K22/K23/K55. Epoch-seconds arrivals keep the
+    min-agg integral and engine-portable."""
+    from pcd_spark.graph import temporal_reachability
+
+    li, o = load(spark, sf, "lineitem"), load(spark, sf, "orders")
+    inter = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).alias("dst"),
+            # NTZ -> TZ (session tz is pinned UTC, session.py) -> epoch long:
+            # matches DuckDB's naive-UTC epoch() exactly
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("t"),
+        )
+        .distinct()
+    )
+    roots = [
+        r["src"]
+        for r in inter.select("src").distinct().orderBy("src").limit(3).collect()
+    ]
+    res = temporal_reachability(inter, roots, max_hops=3, directed=False)
+    return (
+        res.filter(F.col("vid") != F.col("root"))
+        .select("root", "vid", "arrival")
+        .orderBy("root", "vid")
+    )
+
+
+@g(
+    "k55_closeness",
+    f"""WITH RECURSIVE
+        edges AS (SELECT src, dst FROM ({_CS_EDGES_SQL}) WHERE src < 500),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        lms AS (SELECT DISTINCT src AS lm FROM edges ORDER BY lm LIMIT 4),
+        bfs(lm, vid, dist) AS (
+          SELECT lm, lm, 0 FROM lms
+          UNION
+          SELECT b.lm, e.dst, b.dist + 1
+          FROM bfs b JOIN sym e ON e.src = b.vid
+          WHERE b.dist < 40),
+        d AS (SELECT lm, vid, MIN(dist) AS dist FROM bfs GROUP BY lm, vid),
+        agg AS (SELECT lm, COUNT(*) AS r, SUM(CAST(dist AS DOUBLE)) AS sd
+                FROM d GROUP BY lm),
+        n AS (SELECT COUNT(DISTINCT src) AS n FROM sym)
+        SELECT lm AS vid,
+               ROUND(CASE WHEN sd > 0
+                          THEN (r - 1) / sd * (r - 1) / (n.n - 1)
+                          ELSE 0.0 END, 6) AS closeness
+        FROM agg CROSS JOIN n ORDER BY vid""",
+)
+def k55(spark, sf):
+    """K55: exact closeness centrality (Wasserman-Faust normalization,
+    networkx wf_improved semantics) for the 4 smallest vertices of the
+    bounded customer-supplier graph (k12's `src < 500` subgraph). The
+    engine runs ONE batched landmark-BFS for the whole cohort
+    (pcd_spark/graph/sssp.py landmark_distances: all landmarks advance in
+    the same superstep sequence, state keyed (lm, vid), reached-only), then
+    a single (lm) hash-agg — the centrality-by-cohort scale pattern
+    (K22/K23). Oracle: recursive-CTE multi-landmark BFS + the identical
+    left-associated WF arithmetic, rounded 6 on both engines."""
+    from pcd_spark.graph import closeness_centrality
+
+    e = cust_supp_edges(spark, sf).filter(F.col("src") < 500)
+    lms = [
+        r["src"]
+        for r in e.select("src").distinct().orderBy("src").limit(4).collect()
+    ]
+    return closeness_centrality(e, lms).orderBy("vid")
