@@ -154,6 +154,8 @@ _PRIORITY = [
     # round-3 fifth-continuation batch (this session), SQL-oracled,
     # awaiting a future rotation once hash-green:
     "k54_temporal_reachability", "k55_closeness",
+    "x29_chunk_documents", "x30_semantic_decontamination",
+    "v16_kcenter_coreset",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

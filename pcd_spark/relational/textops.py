@@ -3000,3 +3000,226 @@ def v15(spark, sf):
         .filter(F.col("rn") <= 3)
         .select("probe_id", "cand_id", "hamming")
     )
+
+
+# =========================================================================
+# round-3 fifth continuation: chunking, semantic decontamination, k-center
+# =========================================================================
+
+_CHUNK_W = 40  # tokens per chunk
+_CHUNK_S = 30  # stride (10-token overlap)
+
+
+@qt(
+    "x29_chunk_documents",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n,
+                     CASE WHEN len(toks) <= {_CHUNK_W} THEN 1
+                          ELSE CAST(CEIL((len(toks) - {_CHUNK_W}) / {_CHUNK_S}.0)
+                                    AS BIGINT) + 1 END AS n_chunks
+              FROM t),
+        c AS (SELECT doc_id, toks, n, UNNEST(range(n_chunks)) AS chunk_id
+              FROM n),
+        s AS (SELECT doc_id, chunk_id,
+                     list_slice(toks, chunk_id * {_CHUNK_S} + 1,
+                                LEAST(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n))
+                       AS ctoks
+              FROM c)
+        SELECT doc_id, chunk_id, len(ctoks) AS n_tokens,
+               MD5(array_to_string(ctoks, ' ')) AS chunk_md5
+        FROM s ORDER BY doc_id, chunk_id""",
+)
+def x29(spark, sf):
+    """X29: sliding-window document chunking with overlap — the standard
+    pretraining/RAG segmentation step (fixed token window w=40, stride
+    s=30, so consecutive chunks share a 10-token overlap; every document
+    yields >= 1 chunk and the tail chunk is the ragged remainder). All
+    codegen'd array ops: split -> sequence/posexplode over the chunk count
+    -> slice -> array_join -> md5; the text is tokenized ONCE scan-side and
+    only (doc_id, chunk_id, n_tokens, md5) ever shuffles — at 100 TB the
+    chunk table is a fingerprint stream, not a text copy (x16's discipline;
+    chunk_md5 keys downstream chunk-level dedup). Chunk-count law
+    n<=w -> 1 else ceil((n-w)/s)+1 is computed identically on both
+    engines."""
+    d = load(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= _CHUNK_W, F.lit(1).cast("long")).otherwise(
+        F.ceil((n - F.lit(_CHUNK_W)) / F.lit(float(_CHUNK_S))).cast("long") + 1
+    )
+    base = d.select("doc_id", toks.alias("toks"), n.alias("n"), n_chunks.alias("nc"))
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.posexplode(F.sequence(F.lit(0).cast("long"), F.col("nc") - 1)).alias(
+            "_pos", "chunk_id"
+        ),
+    )
+    ctoks = F.slice(
+        F.col("toks"), F.col("chunk_id").cast("int") * _CHUNK_S + 1, _CHUNK_W
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(ctoks).alias("n_tokens"),
+        F.md5(F.array_join(ctoks, " ")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_DECON_TAU = 0.30  # cosine threshold: benchmark-overlap flag
+_DECON_BENCH = 20  # vec_id < 20 = the "benchmark" embedding set
+
+
+@qt(
+    "x30_semantic_decontamination",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        bench AS (SELECT * FROM e WHERE vec_id < {_DECON_BENCH}),
+        corpus AS (SELECT * FROM e WHERE vec_id >= {_DECON_BENCH}),
+        scored AS (
+          SELECT c.vec_id,
+                 MAX(ROUND(list_dot_product(c.emb, b.emb)
+                           / (SQRT(list_dot_product(c.emb, c.emb))
+                              * SQRT(list_dot_product(b.emb, b.emb))), 6))
+                   AS max_cos
+          FROM corpus c CROSS JOIN bench b
+          GROUP BY c.vec_id)
+        SELECT vec_id, max_cos,
+               CAST(max_cos >= {_DECON_TAU} AS INT) AS contaminated
+        FROM scored ORDER BY vec_id""",
+)
+def x30(spark, sf):
+    """X30: SEMANTIC decontamination — x12's n-gram benchmark-overlap
+    check, upgraded to embedding space: a corpus item is flagged when its
+    max cosine against ANY benchmark vector reaches tau (paraphrased eval
+    leakage that exact n-gram matching misses; the embedding-similarity
+    decontamination step in Gemini/Llama data cards). Same scale shape as
+    x12/v1: the benchmark side is SMALL even when the corpus is 100 TB, so
+    it broadcasts and the corpus streams scan-side through one
+    codegen'd max-agg — output is O(corpus rows), no shuffle of
+    embeddings. Threshold compares the ROUNDED score (v8's discipline) so
+    a boundary pair cannot flip engines."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    bench = e.filter(F.col("vec_id") < _DECON_BENCH).select(
+        F.col("vec_id").alias("bid"), F.col("emb").alias("bemb")
+    )
+    corpus = e.filter(F.col("vec_id") >= _DECON_BENCH)
+    scored = (
+        F.broadcast(bench)
+        .join(corpus)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.round(_cos(F.col("emb"), F.col("bemb")), 6)).alias("max_cos")
+        )
+    )
+    return scored.select(
+        "vec_id",
+        "max_cos",
+        (F.col("max_cos") >= _DECON_TAU).cast("int").alias("contaminated"),
+    ).orderBy("vec_id")
+
+
+_KCENTER_K = 6
+
+
+def _kcenter_sql(k: int) -> str:
+    """Unrolled k-center CTE chain (the oracle is non-iterative SQL by
+    construction: k is a compile-time constant, so the greedy loop unrolls
+    into k LIMIT-1 selections — same dominance arithmetic as the engine)."""
+    dist = (
+        "ROUND(SQRT(GREATEST({x}.nn - 2 * list_dot_product({x}.emb, c.emb)"
+        " + c.nn, 0)), 6)"
+    )
+    parts = [
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                      list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])) AS nn
+               FROM embeddings),
+        c1 AS (SELECT vec_id, emb, nn FROM e ORDER BY vec_id LIMIT 1),
+        d1 AS (SELECT e.vec_id, e.emb, e.nn, {d} AS md
+               FROM e CROSS JOIN c1 c)""".format(d=dist.format(x="e"))
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""c{i} AS (SELECT vec_id, emb, nn, md FROM d{i - 1}
+                 ORDER BY md DESC, vec_id ASC LIMIT 1)"""
+        )
+        if i < k:
+            parts.append(
+                """d{i} AS (SELECT d.vec_id, d.emb, d.nn,
+                     LEAST(d.md, {dd}) AS md
+                 FROM d{p} d CROSS JOIN c{i} c)""".format(
+                    i=i, p=i - 1, dd=dist.format(x="d")
+                )
+            )
+    sel = ["SELECT 1 AS sel_rank, vec_id, 0.0 AS sel_dist FROM c1"]
+    sel += [
+        f"SELECT {i} AS sel_rank, vec_id, md AS sel_dist FROM c{i}"
+        for i in range(2, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel) + "\nORDER BY sel_rank"
+
+
+@qt("v16_kcenter_coreset", _kcenter_sql(_KCENTER_K))
+def v16(spark, sf):
+    """V16: greedy k-center coreset (farthest-point traversal) — the
+    2-approximation to the k-center cover [PUB: Gonzalez 1985 "Clustering
+    to minimize the maximum intercluster distance"; Har-Peled 2011 coreset
+    surveys] and the standard DIVERSITY-sampling primitive for training-data
+    curation (pick the k most mutually-distant exemplars; complements
+    x18's quality-tiered and x27's source-mix sampling, which are
+    frequency-based). Seed = smallest vec_id, then k-1 rounds of
+    argmax-of-min-distance. Engine shape per round: ONE codegen'd
+    TakeOrderedAndProject top-1 over the running min-distance column
+    (distributed top-k, no global sort) + a broadcast-literal distance
+    update — driver state is O(k x dim), the k-means/v5 budget. Distances
+    are ROUNDED (6 dp) BEFORE the argmax on BOTH engines with vec_id ASC
+    tie-break, so 1-ulp fold-order skew cannot flip a selection (v8's
+    proven discipline). Euclidean via the dot-product identity
+    ||a-b||^2 = nn_a - 2<a,b> + nn_b: per-row self-norms are computed once
+    scan-side; at 100 TB each round streams the corpus once, shuffles
+    nothing but the top-1."""
+    e = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn(
+            "nn",
+            F.aggregate(
+                F.transform("emb", lambda a: a * a),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .persist()
+    )
+
+    def dist_to(center_emb, center_nn):
+        clit = F.array(*[F.lit(float(v)) for v in center_emb])
+        dot = F.aggregate(
+            F.zip_with("emb", clit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(
+            F.sqrt(F.greatest(F.col("nn") - 2 * dot + F.lit(float(center_nn)), F.lit(0.0))),
+            6,
+        )
+
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(1, int(first["vec_id"]), 0.0)]
+    cur = e.withColumn("md", dist_to(first["emb"], first["nn"]))
+    for i in range(2, _KCENTER_K + 1):
+        top = cur.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
+        centers.append((i, int(top["vec_id"]), float(top["md"])))
+        if i < _KCENTER_K:
+            cur = cur.withColumn(
+                "md", F.least(F.col("md"), dist_to(top["emb"], top["nn"]))
+            )
+    e.unpersist()
+    return spark.createDataFrame(
+        centers, "sel_rank int, vec_id long, sel_dist double"
+    ).orderBy("sel_rank")

@@ -101,6 +101,11 @@ PLAN_SWEEP = [
     # an equi hash join on q (cost = sum of squared degrees, never the
     # n^2 BNLJ form), and the indirect-mass left join stays hash-keyed
     "k52_burt_constraint",
+    # fifth continuation: x29 chunking (pure scan -> Generate -> Project,
+    # no join at all, no Python); k54 temporal reachability and k55
+    # closeness are superstep-built (frontier equi joins; their per-hop
+    # shape is pinned by the engines they share with k12)
+    "x29_chunk_documents",
 ]
 # x27/x28 crossJoin a ONE-ROW global-stats frame (broadcast nested loop
 # with a literal-sized build side — the intended scalar-distribution
@@ -200,6 +205,16 @@ def test_v8_range_streams_big_side(spark, sf_dir):
     one pass; output is O(matches), never O(n·probes) materialized."""
     plan = _plan(spark, sf_dir, "v8_cosine_range")
     assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
+
+
+def test_x30_decon_streams_big_side(spark, sf_dir):
+    """x30's semantic decontamination is v8's broadcast-probes shape with
+    the roles flipped: the SMALL benchmark set broadcasts (BuildLeft) and
+    the corpus streams scan-side through one codegen'd max-agg — at 100 TB
+    the corpus never shuffles and never builds."""
+    plan = _plan(spark, sf_dir, "x30_semantic_decontamination")
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
 
 
 def test_v9_sq8_streams_big_side(spark, sf_dir):
