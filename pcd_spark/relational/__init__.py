@@ -155,7 +155,7 @@ _PRIORITY = [
     # awaiting a future rotation once hash-green:
     "k54_temporal_reachability", "k55_closeness",
     "x29_chunk_documents", "x30_semantic_decontamination",
-    "v16_kcenter_coreset",
+    "v16_kcenter_coreset", "x31_lsh_calibration",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -3223,3 +3223,133 @@ def v16(spark, sf):
     return spark.createDataFrame(
         centers, "sel_rank int, vec_id long, sel_dist double"
     ).orderBy("sel_rank")
+
+
+@qt(
+    "x31_lsh_calibration",
+    f"""WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE n_chars BETWEEN 100 AND 200),
+        sig AS (SELECT doc_id,
+                       {_minhash_sql("s1")} AS m1, {_minhash_sql("s2")} AS m2,
+                       {_minhash_sql("s3")} AS m3, {_minhash_sql("s4")} AS m4
+                FROM d),
+        bands AS (SELECT doc_id, MD5('1' || m1 || m2) AS bk FROM sig
+                  UNION ALL
+                  SELECT doc_id, MD5('2' || m3 || m4) AS bk FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                 FROM bands a JOIN bands b
+                   ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, LENGTH(text) - 3),
+                                                   i -> SUBSTR(text, i, 4)))
+                        AS grams
+               FROM d),
+        tp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / (LEN(a.grams) + LEN(b.grams)
+                        - LEN(list_intersect(a.grams, b.grams))) > 0.3),
+        n AS (SELECT (SELECT COUNT(*) FROM cand) AS n_cand,
+                     (SELECT COUNT(*) FROM tp) AS n_true,
+                     (SELECT COUNT(*)
+                      FROM cand c JOIN tp t
+                        ON c.d1 = t.d1 AND c.d2 = t.d2) AS n_hit)
+        SELECT n_cand, n_true, n_hit,
+               ROUND(CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0), 6)
+                 AS precision_lsh,
+               ROUND(CAST(n_hit AS DOUBLE) / NULLIF(n_true, 0), 6)
+                 AS recall_lsh
+        FROM n""",
+)
+def x31(spark, sf):
+    """X31: MinHash-LSH calibration report — MEASURED precision/recall of
+    the x3-style banding (B=2 bands x R=2 rows over the x2 seeds) against
+    exact 4-gram Jaccard > 0.3 (x4's inverted-index truth) on the bounded
+    document slice. This is the tuning loop a 100 TB dedup pipeline runs
+    before committing to a (B, R) choice [PUB: Leskovec, Rajaraman &
+    Ullman, "Mining of Massive Datasets" ch. 3 — the S-curve
+    1-(1-J^R)^B]: theory predicts the threshold, this op measures where
+    the operating point actually lands on YOUR corpus (shingle length,
+    doc-length mix, and seed count all move it). Runs on a sampled slice
+    by design — calibration needs a measurable truth set, and exact
+    Jaccard truth is only affordable on a bounded cohort; the chosen
+    (B, R) then applies corpus-wide through x3/x10. All three counts are
+    integers (no float discipline needed until the final two ROUND'd
+    ratios); the three 1-row counts cross-join as broadcast scalars
+    (x27/x28's exempted literal-build pattern)."""
+    d = _spread(
+        load(spark, sf, "documents")
+        .filter(F.col("n_chars").between(100, 200))
+        .select("doc_id", "text")
+    )
+    sig = d.select(
+        "doc_id",
+        _minhash_col("s1").alias("m1"),
+        _minhash_col("s2").alias("m2"),
+        _minhash_col("s3").alias("m3"),
+        _minhash_col("s4").alias("m4"),
+    ).localCheckpoint(eager=True)  # signatures feed both band arms once
+    bands = sig.select(
+        "doc_id", F.md5(F.concat(F.lit("1"), "m1", "m2")).alias("bk")
+    ).unionByName(
+        sig.select("doc_id", F.md5(F.concat(F.lit("2"), "m3", "m4")).alias("bk"))
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("d1"), "bk")
+        .join(bands.select(F.col("doc_id").alias("d2"), "bk"), "bk")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: n_cand count + hit join
+    )
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 4),
+                lambda i: F.expr("text").substr(i, F.lit(4)),
+            )
+        ).alias("grams"),
+    ).localCheckpoint(eager=True)
+    sizes = sh.select("doc_id", F.size("grams").alias("sz"))
+    post = sh.select("doc_id", F.explode("grams").alias("gram"))
+    inter_df = (
+        post.select(F.col("doc_id").alias("d1"), "gram")
+        .join(post.select(F.col("doc_id").alias("d2"), "gram"), "gram")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    tp = (
+        inter_df.join(sizes.withColumnRenamed("doc_id", "d1")
+                      .withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+              .withColumnRenamed("sz", "sz2"), "d2")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+            > 0.3
+        )
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)  # reused: n_true count + hit join
+    )
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    n_true = tp.agg(F.count("*").alias("n_true"))
+    n_hit = cand.join(tp, ["d1", "d2"]).agg(F.count("*").alias("n_hit"))
+    return (
+        n_cand.crossJoin(n_true)
+        .crossJoin(n_hit)
+        .select(
+            "n_cand",
+            "n_true",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.nullif(F.col("n_cand"), F.lit(0)),
+                6,
+            ).alias("precision_lsh"),
+            F.round(
+                F.col("n_hit").cast("double") / F.nullif(F.col("n_true"), F.lit(0)),
+                6,
+            ).alias("recall_lsh"),
+        )
+    )

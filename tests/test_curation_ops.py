@@ -117,3 +117,24 @@ def test_v16_radii_monotone_nonincreasing(spark, sf_dir):
     dists = [r["sel_dist"] for r in got[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:]))
     assert len({r["vec_id"] for r in got}) == _KCENTER_K
+
+
+# ------------------------------------------------------------------- x31
+
+
+def test_x31_consistent_with_x4_truth_and_bounds(spark, sf_dir):
+    """n_true must equal x4's pair count at the same sf (same slice, same
+    threshold, same shingles — x31's truth arm IS x4); hit <= min(cand,
+    true); ratios in [0,1] and equal to their integer quotients."""
+    row = REGISTRY["x31_lsh_calibration"]["spark"](spark, sf_dir).collect()[0]
+    x4_n = REGISTRY["x4_ngram_jaccard_pairs"]["spark"](spark, sf_dir).count()
+    assert row["n_true"] == x4_n
+    assert row["n_hit"] <= min(row["n_cand"], row["n_true"])
+    if row["n_cand"]:
+        assert row["precision_lsh"] == pytest.approx(
+            round(row["n_hit"] / row["n_cand"], 6)
+        )
+    if row["n_true"]:
+        assert row["recall_lsh"] == pytest.approx(
+            round(row["n_hit"] / row["n_true"], 6)
+        )
