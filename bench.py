@@ -111,6 +111,13 @@ BENCH_QUERIES = [
     "k8b_incremental_edges",
     "k49_msf",
     "v15_hamming_topk",
+    # fifth continuation batch: the corpus-wide curation ops join the
+    # suite (x29/x30 touch every document/embedding row; x31 runs the
+    # full exact-truth arm); k54/k55/v16 are sub-10s cohort/top-1 ops
+    # timed standalone in BENCH/BASELINE.md instead
+    "x29_chunk_documents",
+    "x30_semantic_decontamination",
+    "x31_lsh_calibration",
 ]
 
 

@@ -27,6 +27,25 @@ def read_snap_edges(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_snap_temporal_edges(spark: SparkSession, path: str) -> DataFrame:
+    """A3 variant: parse a SNAP TEMPORAL edge list (`u v t` lines — the
+    snap.stanford.edu temporal-network format, e.g. CollegeMsg /
+    email-Eu-core-temporal / sx-stackoverflow). Same all-JVM pipeline as
+    read_snap_edges; `t` is the interaction's epoch-seconds timestamp,
+    feeding K54 temporal_reachability directly."""
+    lines = spark.read.text(path)
+    toks = (
+        lines.filter(~F.col("value").startswith("#"))
+        .filter(F.trim("value") != "")
+        .select(F.split(F.trim("value"), r"\s+").alias("t"))
+    )
+    return toks.select(
+        F.col("t")[0].cast("long").alias("src"),
+        F.col("t")[1].cast("long").alias("dst"),
+        F.col("t")[2].cast("long").alias("t"),
+    )
+
+
 def canonical_undirected(edges: DataFrame) -> DataFrame:
     """D3 normal form for undirected algorithms: drop self-loops, store each
     edge once as (min, max), dedup. One shuffle (the distinct)."""

@@ -27,13 +27,15 @@ def main() -> None:
                              "butterflies", "coloring", "katz", "condense",
                              "scan", "local-community", "matching",
                              "coarsen", "densest", "msf", "leiden",
-                             "onion", "constraint"])
+                             "onion", "constraint", "closeness",
+                             "landmarks", "temporal-reach"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--k", type=int, default=3,
-                    help="k for --algo kcore / ktruss")
+                    help="k for --algo kcore / ktruss; max hops for "
+                         "--algo temporal-reach")
     ap.add_argument("--n-samples", type=int, default=16,
                     help="sampled sources for --algo betweenness")
     ap.add_argument("--source", type=int, action="append", default=None,
@@ -175,6 +177,30 @@ def main() -> None:
         from pcd_spark.graph import burt_constraint
 
         res = burt_constraint(edges)
+    elif args.algo == "closeness":
+        from pcd_spark.graph import closeness_centrality
+
+        if not args.source:
+            raise SystemExit("--algo closeness requires --source (repeatable)")
+        res = closeness_centrality(edges, args.source,
+                                   max_iter=args.max_iter, stats_out=stats)
+    elif args.algo == "landmarks":
+        from pcd_spark.graph import landmark_distances
+
+        if not args.source:
+            raise SystemExit("--algo landmarks requires --source (repeatable)")
+        res = landmark_distances(edges, args.source,
+                                 max_iter=args.max_iter, store=store,
+                                 stats_out=stats)
+    elif args.algo == "temporal-reach":
+        from pcd_spark.graph import temporal_reachability
+        from pcd_spark.graph.edges import read_snap_temporal_edges
+
+        if not args.source:
+            raise SystemExit("--algo temporal-reach requires --source")
+        inter = read_snap_temporal_edges(spark, args.snap)
+        res = temporal_reachability(inter, args.source,
+                                    max_hops=args.k, stats_out=stats)
     elif args.algo == "local-community":
         from pcd_spark.graph import local_community
 

@@ -162,3 +162,36 @@ def test_submit_cli_leiden_onion_constraint(tmp_path):
     ).fetchall())
     assert cons[0] == pytest.approx(0.2, abs=1e-9)
     assert all(cons[i] == pytest.approx(1.0, abs=1e-9) for i in range(1, 6))
+
+
+def test_submit_cli_closeness_and_temporal(tmp_path):
+    """Drive the fifth-batch --algo paths through the CLI: closeness must
+    reproduce the hand-computed WF values on the bridged-triangles graph;
+    temporal-reach must respect the time-blocked path (vertex 4 stays
+    unreachable because its only interaction predates the arrival)."""
+    env = {**os.environ, "PYTHONPATH": REPO}
+
+    def run(algo, snap, out, *extra):
+        cmd = [sys.executable, os.path.join(REPO, "scripts", "submit_job.py"),
+               "--algo", algo, "--snap", str(snap), "--out", out, *extra]
+        p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           cwd=str(tmp_path), timeout=600)
+        assert p.returncode == 0, p.stderr[-3000:]
+
+    snap = tmp_path / "g.txt"
+    snap.write_text("0 1\n1 2\n0 2\n3 4\n4 5\n3 5\n2 3\n7 8\n")
+    c_out = str(tmp_path / "c_out")
+    run("closeness", snap, c_out, "--source", "0", "--source", "7")
+    got = dict(duckdb.sql(
+        f"SELECT vid, closeness FROM read_parquet('{c_out}/*.parquet')"
+    ).fetchall())
+    assert got == {0: 0.357143, 7: 0.142857}
+
+    tsnap = tmp_path / "t.txt"
+    tsnap.write_text("# temporal\n1 2 10\n2 3 5\n2 3 20\n3 4 15\n")
+    t_out = str(tmp_path / "t_out")
+    run("temporal-reach", tsnap, t_out, "--source", "1", "--k", "3")
+    rows = sorted(duckdb.sql(
+        f"SELECT root, vid, arrival FROM read_parquet('{t_out}/*.parquet')"
+    ).fetchall())
+    assert rows == [(1, 1, -1), (1, 2, 10), (1, 3, 20)]
