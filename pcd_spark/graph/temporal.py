@@ -120,6 +120,10 @@ def temporal_reachability(
         hops = h + 1
         if n_changed == 0:
             break
+    # the final state is an eager localCheckpoint — the edge cache can go
+    # (ADVICE-r2 leak class: a persist with no matching unpersist survives
+    # the session)
+    e.unpersist()
     if stats_out is not None:
         stats_out["hops"] = hops
     return state
