@@ -1895,3 +1895,55 @@ def k55(spark, sf):
         for r in e.select("src").distinct().orderBy("src").limit(4).collect()
     ]
     return closeness_centrality(e, lms).orderBy("vid")
+
+
+@g(
+    "k56_double_sweep",
+    f"""WITH RECURSIVE
+        edges AS (SELECT src, dst FROM ({_CS_EDGES_SQL}) WHERE src < 500),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        root AS (SELECT MIN(src) AS v FROM edges),
+        b1(vid, dist) AS (
+          SELECT v, 0 FROM root
+          UNION
+          SELECT e.dst, b.dist + 1 FROM b1 b JOIN sym e ON e.src = b.vid
+          WHERE b.dist < 40),
+        d1 AS (SELECT vid, MIN(dist) AS dist FROM b1 GROUP BY vid),
+        far1 AS (SELECT vid, dist FROM d1
+                 ORDER BY dist DESC, vid ASC LIMIT 1),
+        b2(vid, dist) AS (
+          SELECT vid, 0 FROM far1
+          UNION
+          SELECT e.dst, b.dist + 1 FROM b2 b JOIN sym e ON e.src = b.vid
+          WHERE b.dist < 40),
+        d2 AS (SELECT vid, MIN(dist) AS dist FROM b2 GROUP BY vid),
+        far2 AS (SELECT vid, dist FROM d2
+                 ORDER BY dist DESC, vid ASC LIMIT 1)
+        SELECT r.v AS root, f1.vid AS sweep1_far,
+               CAST(f1.dist AS BIGINT) AS ecc1,
+               f2.vid AS sweep2_far, CAST(f2.dist AS BIGINT) AS diam_lb
+        FROM root r CROSS JOIN far1 f1 CROSS JOIN far2 f2""",
+)
+def k56(spark, sf):
+    """K56: double-sweep diameter lower bound [PUB: Magnien, Latapy &
+    Habib 2009 "Fast computation of empirically tight bounds for the
+    diameter of massive graphs"; the iFUB starting step]: BFS from an
+    arbitrary root, hop to the farthest vertex found, BFS again — the
+    second eccentricity is a lower bound on the diameter that is
+    empirically tight (often exact) on real graphs, at the cost of TWO
+    BFS runs instead of all-pairs. Complements K21's HyperBall effective
+    diameter (approximate, all-vertex) with an exact bound; both of the
+    sweeps are the engine's frontier-only shortest_paths. Deterministic
+    tie-break: max dist then min vid, both engines."""
+    from pcd_spark.graph import shortest_paths
+
+    e = cust_supp_edges(spark, sf).filter(F.col("src") < 500)
+    root = int(e.agg(F.min("src").alias("m")).first()["m"])
+    d1 = shortest_paths(e, [root])
+    f1 = d1.orderBy(F.desc("dist"), F.asc("vid")).limit(1).collect()[0]
+    d2 = shortest_paths(e, [int(f1["vid"])])
+    f2 = d2.orderBy(F.desc("dist"), F.asc("vid")).limit(1).collect()[0]
+    return spark.createDataFrame(
+        [(root, int(f1["vid"]), int(f1["dist"]), int(f2["vid"]), int(f2["dist"]))],
+        "root long, sweep1_far long, ecc1 long, sweep2_far long, diam_lb long",
+    )

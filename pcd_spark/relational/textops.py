@@ -3353,3 +3353,41 @@ def x31(spark, sf):
             ).alias("recall_lsh"),
         )
     )
+
+
+_SOURCE_CAP = 15  # max documents kept per source (binds at every sf)
+
+
+@qt(
+    "x32_source_caps",
+    f"""SELECT doc_id, source, src_rank FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS src_rank
+          FROM documents)
+        WHERE src_rank <= {_SOURCE_CAP}
+        ORDER BY source, src_rank""",
+)
+def x32(spark, sf):
+    """X32: per-source document caps — the per-domain cap step every
+    web-corpus curation pipeline applies (an over-crawled domain must not
+    dominate the training mix; caps are the blunt-but-standard complement
+    to x27's temperature mixing, which RESAMPLES rates but never bounds an
+    individual source). Selection within a source is a deterministic
+    hash-rank (md5 of the doc id — x15/x18's engine-portable RNG-free
+    discipline), so the kept set is reproducible at any parallelism and
+    identical cross-engine; doc_id tiebreak makes the order total even
+    under md5 collisions. The window partitions BY SOURCE (never
+    partitionless — the repo's plan-sweep rule), so at 100 TB each
+    source's rank runs partition-locally after one hash shuffle; only
+    (doc_id, source) ever moves."""
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= _SOURCE_CAP)
+        .orderBy("source", "src_rank")
+    )

@@ -138,3 +138,31 @@ def test_x31_consistent_with_x4_truth_and_bounds(spark, sf_dir):
         assert row["recall_lsh"] == pytest.approx(
             round(row["n_hit"] / row["n_true"], 6)
         )
+
+
+# ------------------------------------------------------------------- x32
+
+
+def test_x32_matches_pure_python_hash_rank_and_binds(spark, sf_dir):
+    import hashlib
+
+    from pcd_spark.relational.textops import _SOURCE_CAP
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    by_src: dict[str, list] = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    exp = {}
+    binds = False
+    for src, ids in by_src.items():
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        if len(ranked) > _SOURCE_CAP:
+            binds = True
+        for rank, doc in enumerate(ranked[:_SOURCE_CAP], start=1):
+            exp[(doc, src)] = rank
+    got = {
+        (r["doc_id"], r["source"]): r["src_rank"]
+        for r in REGISTRY["x32_source_caps"]["spark"](spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert binds, "cap must actually bind on the test corpus"

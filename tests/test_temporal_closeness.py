@@ -186,3 +186,37 @@ def test_temporal_rejects_bad_args(spark):
         temporal_reachability(df, [], max_hops=2)
     with pytest.raises(ValueError):
         temporal_reachability(df, [1], max_hops=0)
+
+
+# ------------------------------------------------------------------ k56
+
+
+def test_k56_double_sweep_matches_networkx_mirror(spark, sf_dir):
+    """The registry row must equal an nx mirror of the exact algorithm
+    (BFS from min vertex, farthest tie->min vid, BFS again), and satisfy
+    the double-sweep law ecc(far1) >= ecc(root)."""
+    import duckdb
+
+    from pcd_spark.relational import REGISTRY
+
+    con = duckdb.connect()
+    edges = con.sql(
+        f"""SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+            FROM read_parquet('{sf_dir}/lineitem.parquet') l
+            JOIN read_parquet('{sf_dir}/orders.parquet') o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE o_custkey < 500"""
+    ).fetchall()
+    G = nx.Graph(edges)
+    root = min(u for u, _ in edges)
+
+    def far(start):
+        d = nx.single_source_shortest_path_length(G, start)
+        return min((v for v in d), key=lambda v: (-d[v], v)), max(d.values())
+
+    f1, ecc1 = far(root)
+    f2, diam_lb = far(f1)
+    row = REGISTRY["k56_double_sweep"]["spark"](spark, sf_dir).collect()[0]
+    assert (row["root"], row["sweep1_far"], row["ecc1"],
+            row["sweep2_far"], row["diam_lb"]) == (root, f1, ecc1, f2, diam_lb)
+    assert row["diam_lb"] >= row["ecc1"]
