@@ -156,7 +156,7 @@ _PRIORITY = [
     "k54_temporal_reachability", "k55_closeness",
     "x29_chunk_documents", "x30_semantic_decontamination",
     "v16_kcenter_coreset", "x31_lsh_calibration",
-    "k56_double_sweep", "x32_source_caps",
+    "k56_double_sweep", "x32_source_caps", "k57_landmark_estimate",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

@@ -1947,3 +1947,60 @@ def k56(spark, sf):
         [(root, int(f1["vid"]), int(f1["dist"]), int(f2["vid"]), int(f2["dist"]))],
         "root long, sweep1_far long, ecc1 long, sweep2_far long, diam_lb long",
     )
+
+
+@g(
+    "k57_landmark_estimate",
+    f"""WITH RECURSIVE
+        edges AS (SELECT src, dst FROM ({_CS_EDGES_SQL}) WHERE src < 500),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        lms AS (SELECT DISTINCT src AS lm FROM edges ORDER BY lm LIMIT 4),
+        bfs(lm, vid, dist) AS (
+          SELECT lm, lm, 0 FROM lms
+          UNION
+          SELECT b.lm, e.dst, b.dist + 1
+          FROM bfs b JOIN sym e ON e.src = b.vid
+          WHERE b.dist < 40),
+        d AS (SELECT lm, vid, MIN(dist) AS dist FROM bfs GROUP BY lm, vid),
+        probes AS (SELECT DISTINCT vid FROM d WHERE vid < 30)
+        SELECT a.vid AS u, b.vid AS v,
+               CAST(MIN(da.dist + db.dist) AS BIGINT) AS est_dist
+        FROM probes a JOIN probes b ON a.vid < b.vid
+        JOIN d da ON da.vid = a.vid
+        JOIN d db ON db.vid = b.vid AND db.lm = da.lm
+        GROUP BY a.vid, b.vid
+        ORDER BY u, v""",
+)
+def k57(spark, sf):
+    """K57: landmark-based distance estimation [PUB: Potamias, Bonchi,
+    Castillo & Gionis CIKM 2009; Goldberg & Harrelson 2005 (ALT)] — the
+    constant-time distance-query scheme the K55 landmark substrate exists
+    for at 10^12 edges: precompute d(·, lm) for a small landmark set ONCE
+    (one batched landmark-BFS), then answer any pairwise distance query as
+    the triangle-inequality upper bound min over lm of d(u,lm)+d(lm,v) —
+    an O(|L|) lookup join instead of a per-query BFS. Exact whenever some
+    landmark sits on a shortest u-v path; always an upper bound (pinned in
+    pytest vs nx truth). Probe cohort: all pairs of the sub-30 customers.
+    Plan: the landmark vectors equi-join on lm and hash-agg min — no BFS
+    at query time."""
+    from pcd_spark.graph import landmark_distances
+
+    e = cust_supp_edges(spark, sf).filter(F.col("src") < 500)
+    lms = [
+        r["src"]
+        for r in e.select("src").distinct().orderBy("src").limit(4).collect()
+    ]
+    ld = landmark_distances(e, lms).localCheckpoint(eager=True)
+    da = ld.filter(F.col("vid") < 30).select(
+        "lm", F.col("vid").alias("u"), F.col("dist").alias("d1")
+    )
+    db = ld.filter(F.col("vid") < 30).select(
+        "lm", F.col("vid").alias("v"), F.col("dist").alias("d2")
+    )
+    return (
+        da.join(db, "lm")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min(F.col("d1") + F.col("d2")).cast("long").alias("est_dist"))
+        .orderBy("u", "v")
+    )

@@ -220,3 +220,41 @@ def test_k56_double_sweep_matches_networkx_mirror(spark, sf_dir):
     assert (row["root"], row["sweep1_far"], row["ecc1"],
             row["sweep2_far"], row["diam_lb"]) == (root, f1, ecc1, f2, diam_lb)
     assert row["diam_lb"] >= row["ecc1"]
+
+
+# ------------------------------------------------------------------ k57
+
+
+def test_k57_landmark_estimate_matches_mirror_and_bounds(spark, sf_dir):
+    """The registry row set must equal the nx mirror (min over landmarks of
+    d(u,lm)+d(lm,v) on the same bounded graph, same probe cohort), and
+    every estimate must be a valid upper bound on the true distance."""
+    import duckdb
+
+    from pcd_spark.relational import REGISTRY
+
+    con = duckdb.connect()
+    edges = con.sql(
+        f"""SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+            FROM read_parquet('{sf_dir}/lineitem.parquet') l
+            JOIN read_parquet('{sf_dir}/orders.parquet') o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE o_custkey < 500"""
+    ).fetchall()
+    G = nx.Graph(edges)
+    lms = sorted({u for u, _ in edges})[:4]
+    d = {lm: nx.single_source_shortest_path_length(G, lm) for lm in lms}
+    reached = sorted({v for lm in lms for v in d[lm] if v < 30})
+    exp = {}
+    for i, u in enumerate(reached):
+        for v in reached[i + 1 :]:
+            ests = [d[lm][u] + d[lm][v] for lm in lms if u in d[lm] and v in d[lm]]
+            if ests:
+                exp[(u, v)] = min(ests)
+    got = {
+        (r["u"], r["v"]): r["est_dist"]
+        for r in REGISTRY["k57_landmark_estimate"]["spark"](spark, sf_dir).collect()
+    }
+    assert got == exp
+    for (u, v), est in got.items():
+        assert est >= nx.shortest_path_length(G, u, v)
