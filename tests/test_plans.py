@@ -326,3 +326,15 @@ def test_mixing_broadcasts_scalar_stats(spark, sf_dir, name):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_x31_calibration_plan_shape(spark, sf_dir):
+    """x31's three data-sized joins (band self-join, postings join, hit
+    join) must all be equi hash joins; the only nested-loop nodes allowed
+    are the two 1-row scalar-count combines (x27/x28's exempted
+    literal-build pattern), and no Python anywhere."""
+    plan = _plan(spark, sf_dir, "x31_lsh_calibration")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # the scalar combine is the only nested-loop form present
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
