@@ -258,3 +258,26 @@ def test_k57_landmark_estimate_matches_mirror_and_bounds(spark, sf_dir):
     assert got == exp
     for (u, v), est in got.items():
         assert est >= nx.shortest_path_length(G, u, v)
+
+
+# ------------------------------------------------- partition invariance
+
+
+def test_landmark_and_temporal_partition_invariant(spark, graphs):
+    """House rule: results never depend on the partition count (the one
+    knob a cluster retune is guaranteed to turn)."""
+    g = graphs["er_200"]
+    df = edges_df(spark, g["edges"])
+    a = {(r.lm, r.vid): r.dist
+         for r in landmark_distances(df, [0, 7], num_parts=2).collect()}
+    b = {(r.lm, r.vid): r.dist
+         for r in landmark_distances(df, [0, 7], num_parts=7).collect()}
+    assert a == b
+
+    inter = [(u, v, (u * 7 + v) % 13) for u, v in g["edges"]]
+    idf = spark.createDataFrame(inter, "src long, dst long, t long")
+    ta = {(r.root, r.vid): r.arrival
+          for r in temporal_reachability(idf, [0], max_hops=3, num_parts=2).collect()}
+    tb = {(r.root, r.vid): r.arrival
+          for r in temporal_reachability(idf, [0], max_hops=3, num_parts=7).collect()}
+    assert ta == tb
