@@ -6,12 +6,14 @@ entry(spark)  — flagship: derive the customer–supplier interaction graph fro
 queries()     — one entry per implemented operator from SURVEY.md §2
                 (relational surface B–H incl. the C12–C14 subquery forms,
                 E8/G5, H11/H12 generators, D15 heavy hitters, streaming
-                batch twins, text/dedup/similarity/vector ops X1–X27 /
-                V1–V14 incl. X26 segment-dedup rewrite, X27 source mixing,
-                V13 Matryoshka re-rank and V14 SemDeDup, multimodal, graph
-                algorithms K1–K53 incl. K48 DOULION, K49 MSF, K50 Leiden,
-                K51 onion decomposition, K52 Burt constraint and K53
-                3-clique percolation), each (spark, sf_dir) -> DataFrame.
+                batch twins, text/dedup/similarity/vector ops X1–X32 /
+                V1–V16 incl. X29 chunking, X30 semantic decontamination,
+                X31 LSH calibration, X32 per-source caps and V16 k-center
+                coreset, multimodal, graph algorithms K1–K57 incl. K50
+                Leiden, K53 3-clique percolation, K54 temporal
+                reachability, K55 closeness via batched landmark BFS, K56
+                double-sweep diameter and K57 landmark distance
+                estimation), each (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent ANSI SQL per query where expressible;
                 iterative-to-convergence algorithms (PageRank/LPA) and the
                 synthesized-corpus pipeline are rows-only by design — their
