@@ -73,7 +73,18 @@ def shortest_paths(
         .repartition(p, "src")
         .persist()
     )
-    _gtok = f"edges={e.count()}"
+    # one job primes the cache AND validates the documented non-negativity
+    # precondition (a negative weight silently breaks the min-relaxation
+    # fixpoint = Dijkstra equivalence — fail loudly instead)
+    _st = e.agg(F.count("*").alias("n"), F.min("w").alias("minw")).first()
+    if weight_col is not None and _st["minw"] is not None and _st["minw"] < 0:
+        e.unpersist()
+        edges.unpersist()
+        raise ValueError(
+            f"shortest_paths requires non-negative weights; min({weight_col}) "
+            f"= {_st['minw']}"
+        )
+    _gtok = f"edges={_st['n']}"
 
     verts = (
         e.select(F.col("src").alias("vid"))
@@ -170,7 +181,17 @@ def landmark_distances(
         .repartition(p, "src")
         .persist()
     )
-    _gtok = f"lmedges={e.count()}"
+    # same single-job cache-prime + non-negativity validation as
+    # shortest_paths (the min-relaxation fixpoint argument is shared)
+    _st = e.agg(F.count("*").alias("n"), F.min("w").alias("minw")).first()
+    if weight_col is not None and _st["minw"] is not None and _st["minw"] < 0:
+        e.unpersist()
+        edges.unpersist()
+        raise ValueError(
+            f"landmark_distances requires non-negative weights; "
+            f"min({weight_col}) = {_st['minw']}"
+        )
+    _gtok = f"lmedges={_st['n']}"
 
     lm_list = sorted({int(s) for s in landmarks})
     spark = edges.sparkSession

@@ -281,3 +281,15 @@ def test_landmark_and_temporal_partition_invariant(spark, graphs):
     tb = {(r.root, r.vid): r.arrival
           for r in temporal_reachability(idf, [0], max_hops=3, num_parts=7).collect()}
     assert ta == tb
+
+
+def test_negative_weights_raise(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, -0.5)], "src long, dst long, w double"
+    )
+    from pcd_spark.graph import shortest_paths
+
+    with pytest.raises(ValueError, match="non-negative"):
+        shortest_paths(df, [0], weight_col="w")
+    with pytest.raises(ValueError, match="non-negative"):
+        landmark_distances(df, [0], weight_col="w")
