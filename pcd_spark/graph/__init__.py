@@ -38,6 +38,7 @@ from pcd_spark.graph.hits import hits  # noqa: F401
 from pcd_spark.graph.linkpred import (  # noqa: F401
     degree_assortativity,
     link_prediction,
+    simrank,
 )
 from pcd_spark.graph.walks import random_walks  # noqa: F401
 from pcd_spark.graph.features import neighbor_feature_agg  # noqa: F401

@@ -157,6 +157,7 @@ _PRIORITY = [
     "x29_chunk_documents", "x30_semantic_decontamination",
     "v16_kcenter_coreset", "x31_lsh_calibration",
     "k56_double_sweep", "x32_source_caps", "k57_landmark_estimate",
+    "k58_simrank",
 ]
 
 assert sorted(_PRIORITY) == sorted(_ALL), (

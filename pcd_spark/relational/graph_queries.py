@@ -2004,3 +2004,27 @@ def k57(spark, sf):
         .agg(F.min(F.col("d1") + F.col("d2")).cast("long").alias("est_dist"))
         .orderBy("u", "v")
     )
+
+
+@g("k58_simrank", None)  # iterative-to-convergence; numpy-mirror-pinned
+# (tests/test_simrank.py engine parity 1e-9 + the sf-table mirror in
+# tests/test_temporal_closeness.py) — rows-only by design, like k3/k5
+def k58(spark, sf):
+    """K58: SimRank structural similarity [PUB: Jeh & Widom KDD 2002] on
+    the bounded customer-supplier cohort (custkey < 10 — SimRank state is
+    inherently O(V^2)-dense, so at 10^12 edges it runs on ego/cohort
+    subgraphs BY DESIGN, the K52/K23 bounded-cohort pattern). The
+    recursive member of the K16 similarity family: customers are similar
+    when the suppliers they use are similar, and vice versa — exactly the
+    'two files are related because the modules they import are related'
+    recursion a dependency-graph analysis wants. Fixed 10-iteration
+    evaluation (c=0.6 -> < 6e-3 from the fixpoint), threshold sieve
+    eps=1e-4 (deterministic rule, mirrored exactly in the pytest oracle);
+    scores ROUND'd 6 for presentation, ordered s desc then (u, v)."""
+    from pcd_spark.graph import simrank
+
+    e = cust_supp_edges(spark, sf).filter(F.col("src") < 10)
+    res = simrank(e, c=0.6, max_iter=10, eps=1e-4)
+    return res.select(
+        "u", "v", F.round("s", 6).alias("s")
+    ).orderBy(F.desc("s"), "u", "v").limit(200)

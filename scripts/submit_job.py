@@ -28,7 +28,7 @@ def main() -> None:
                              "scan", "local-community", "matching",
                              "coarsen", "densest", "msf", "leiden",
                              "onion", "constraint", "closeness",
-                             "landmarks", "temporal-reach"])
+                             "landmarks", "temporal-reach", "simrank"])
     ap.add_argument("--snap", required=True, help="SNAP edge-list text file")
     ap.add_argument("--out", required=True, help="output parquet dir")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -177,6 +177,11 @@ def main() -> None:
         from pcd_spark.graph import burt_constraint
 
         res = burt_constraint(edges)
+    elif args.algo == "simrank":
+        from pcd_spark.graph import simrank
+
+        res = simrank(edges, max_iter=args.max_iter, eps=1e-4,
+                      stats_out=stats)
     elif args.algo == "closeness":
         from pcd_spark.graph import closeness_centrality
 
