@@ -195,3 +195,26 @@ def test_submit_cli_closeness_and_temporal(tmp_path):
         f"SELECT root, vid, arrival FROM read_parquet('{t_out}/*.parquet')"
     ).fetchall())
     assert rows == [(1, 1, -1), (1, 2, 10), (1, 3, 20)]
+
+
+def test_submit_cli_simrank(tmp_path):
+    """--algo simrank through the CLI: scores must land in (0, c] and the
+    two-triangle symmetry must hold (pairs (0,1) and (4,5) get equal
+    scores — the automorphism swaps the bridge endpoints 2<->3 and maps
+    {0,1} onto {4,5})."""
+    snap = tmp_path / "g.txt"
+    snap.write_text("0 1\n1 2\n0 2\n3 4\n4 5\n3 5\n2 3\n7 8\n")
+    env = {**os.environ, "PYTHONPATH": REPO}
+    out = str(tmp_path / "s_out")
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "submit_job.py"),
+           "--algo", "simrank", "--snap", str(snap), "--out", out,
+           "--max-iter", "8"]
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=str(tmp_path), timeout=600)
+    assert p.returncode == 0, p.stderr[-3000:]
+    rows = duckdb.sql(
+        f"SELECT u, v, s FROM read_parquet('{out}/*.parquet')"
+    ).fetchall()
+    scores = {(u, v): s for u, v, s in rows}
+    assert all(0 < s <= 0.6 + 1e-12 for s in scores.values())
+    assert scores[(0, 1)] == pytest.approx(scores[(4, 5)], abs=1e-12)
