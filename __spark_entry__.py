@@ -9,11 +9,11 @@ queries()     — one entry per implemented operator from SURVEY.md §2
                 batch twins, text/dedup/similarity/vector ops X1–X32 /
                 V1–V16 incl. X29 chunking, X30 semantic decontamination,
                 X31 LSH calibration, X32 per-source caps and V16 k-center
-                coreset, multimodal, graph algorithms K1–K57 incl. K50
+                coreset, multimodal, graph algorithms K1–K58 incl. K50
                 Leiden, K53 3-clique percolation, K54 temporal
                 reachability, K55 closeness via batched landmark BFS, K56
-                double-sweep diameter and K57 landmark distance
-                estimation), each (spark, sf_dir) -> DataFrame.
+                double-sweep diameter, K57 landmark distance estimation
+                and K58 SimRank), each (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent ANSI SQL per query where expressible;
                 iterative-to-convergence algorithms (PageRank/LPA) and the
                 synthesized-corpus pipeline are rows-only by design — their

@@ -30,6 +30,19 @@ from pcd_spark.graph.superstep import run_supersteps
 from pcd_spark.storage import CheckpointStore
 
 
+def _cohort_digest(vids: Sequence[int]) -> str:
+    """Short stable digest of a sorted source/landmark list, folded into
+    the checkpoint graph_token: resuming the same store (the CLI uses a
+    fixed run_id) with a DIFFERENT cohort on the same graph must trip the
+    token-guard ValueError instead of silently resuming the old cohort's
+    state and returning wrong distances."""
+    import hashlib
+
+    return hashlib.sha256(
+        ",".join(str(int(v)) for v in sorted(vids)).encode()
+    ).hexdigest()[:12]
+
+
 def shortest_paths(
     edges: DataFrame,
     sources: Sequence[int],
@@ -84,7 +97,7 @@ def shortest_paths(
             f"shortest_paths requires non-negative weights; min({weight_col}) "
             f"= {_st['minw']}"
         )
-    _gtok = f"edges={_st['n']}"
+    _gtok = f"edges={_st['n']};srcs={_cohort_digest(sources)}"
 
     verts = (
         e.select(F.col("src").alias("vid"))
@@ -191,7 +204,7 @@ def landmark_distances(
             f"landmark_distances requires non-negative weights; "
             f"min({weight_col}) = {_st['minw']}"
         )
-    _gtok = f"lmedges={_st['n']}"
+    _gtok = f"lmedges={_st['n']};lms={_cohort_digest(landmarks)}"
 
     lm_list = sorted({int(s) for s in landmarks})
     spark = edges.sparkSession

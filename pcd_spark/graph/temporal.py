@@ -79,7 +79,19 @@ def temporal_reachability(
     # can matter when the frontier arrives between two times), but dedup
     # exact repeats so the relax join is skew-lighter.
     e = e.distinct().repartition(p, "src").persist()
-    e.count()
+    # one job primes the cache AND validates the arrival-seed precondition:
+    # roots are seeded with arrival = -1, so every interaction time must be
+    # a non-negative epoch — a dataset with pre-1970 (negative) timestamps
+    # would silently fail the `t >= arrival` first-hop filter. Fail loudly
+    # instead (the shortest_paths cache-prime + validate pattern).
+    _mint = e.agg(F.min("t").alias("mint")).first()["mint"]
+    if _mint is not None and _mint < 0:
+        e.unpersist()
+        raise ValueError(
+            "temporal_reachability requires non-negative interaction "
+            f"times (roots seed at arrival = -1); min(t) = {_mint}. "
+            "Shift timestamps to a non-negative epoch before calling."
+        )
 
     src_list = sorted({int(s) for s in sources})
     spark = interactions.sparkSession

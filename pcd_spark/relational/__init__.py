@@ -41,6 +41,16 @@ _ALL: dict = {**_CORE, **_TEXT, **_GRAPH}
 # mirror). Every family keeps in-window representatives: C keeps c1+c11,
 # E keeps e6/e7/e8, I keeps i8/i9, X keeps 9, V keeps v1/v4/v8/v9,
 # K keeps 14.
+# Window policy (round 4), same rule: the sixteen SQL-oracled operators
+# that have NEVER had a driver row (i10 — re-verified this round after the
+# dimension-side aliasing fix, k41, k52-k57, v12, v16, x8, x28-x32; all
+# hash-green in every preflight --all run) take the slots of sixteen
+# unchanged-since-green r03 entries (c12, c13, c14, d13, d14, e7, e8, g4,
+# h11, h12, x20, x22, x23, k35, k36, k37 — every one r03-driver-green,
+# code untouched since, and hash-matched again by preflight + the
+# all-entries pytest mirror). Family reps retained: C keeps c11 (+ i10 is
+# the stream-static join), D keeps d11/d12/d15, E keeps e6, G keeps g5,
+# H keeps h1, I keeps i9/i10, X keeps 13 reps, V keeps 7, K keeps 16.
 # Window policy (round 3, continuation rotation), same rule: the ten
 # continuation-batch SQL-oracled operators that have never had a driver
 # row (c12, c13, c14, h11, h12, d15, k40, k41, x24, v11) take the slots
@@ -56,53 +66,60 @@ _ALL: dict = {**_CORE, **_TEXT, **_GRAPH}
 _PRIORITY = [
     # B. projection / filters (b2..b5 -> round-1 green, pytest mirror)
     "b1_project_cast",
-    # C. joins (broadcast/SHJ/theta/range/as-of -> driver-green, pytest
-    # mirror); c12-c14 = the declarative subquery surface (new this batch)
+    # C. joins (broadcast/SHJ/theta/range/as-of and the c12-c14 subquery
+    # surface -> driver-green, pytest mirror)
     "c11_null_safe_join",
-    "c12_exists_subquery", "c13_not_in_subquery", "c14_scalar_subquery",
-    # D. aggregation (d2/d3/d4 -> round-1 green, pytest mirror)
-    "d11_group_percentiles", "d12_grouped_stats",
-    "d13_pivot", "d14_unpivot", "d15_heavy_hitters",
-    # E. windows (e1..e5 -> driver-green, pytest mirror)
-    "e6_ntile_percent_rank", "e7_sessionization", "e8_cume_dist",
+    # D. aggregation (d2/d3/d4/d13/d14 -> driver-green, pytest mirror)
+    "d11_group_percentiles", "d12_grouped_stats", "d15_heavy_hitters",
+    # E. windows (e1..e5/e7/e8 -> driver-green, pytest mirror)
+    "e6_ntile_percent_rank",
     # F. sort / limit / top-k (f2/f3 -> driver-green, pytest mirror)
     "f1_global_sort",
-    # G. set ops (g1/g2/g3 -> driver-green, pytest mirror)
-    "g4_union_by_name", "g5_bag_set_ops",
-    # H. scalar function families + generators
-    "h1_sha256", "h11_posexplode", "h12_sequence_gapfill",
-    # I. streaming batch twins (i8/i10 -> driver-green, pytest mirror)
-    "i9_interval_join_batch",
-    # X. dedup / text analysis / data quality (x1/x2/x4/x9/x11/x12/x17 ->
-    # driver-green, pytest mirror; x10 is the composite LSH ->
-    # connected-components dedup-clustering showcase)
-    "x10_neardup_clusters",
+    # G. set ops (g1..g4 -> driver-green, pytest mirror)
+    "g5_bag_set_ops",
+    # H. scalar function families + generators (h11/h12 -> r03-green)
+    "h1_sha256",
+    # I. streaming batch twins; i10 re-enters for driver re-verification of
+    # this round's dimension-side aliasing fix
+    "i9_interval_join_batch", "i10_stream_static_join_batch",
+    # X. dedup / text analysis / data quality (x1/x2/x4/x9/x11/x12/x17/
+    # x20/x22/x23 -> driver-green, pytest mirror; x10 is the composite
+    # LSH -> connected-components dedup-clustering showcase; x8/x28-x32
+    # enter for their first driver row)
+    "x8_fingerprint", "x10_neardup_clusters",
     "x14_dedup_keep_best",
-    "x19_source_quality_gate",
-    "x20_boilerplate_grams", "x21_word_entropy",
-    "x22_containment_pairs", "x23_tfidf_topk",
+    "x19_source_quality_gate", "x21_word_entropy",
     "x24_shared_spans", "x25_lm_quality", "x26_segment_dedup_rewrite",
-    "x27_source_mixing",
-    # V. similarity search (v1/v2/v3 -> driver-green, pytest mirror)
-    "v8_cosine_range", "v9_sq8_topk", "v11_ann_recall", "v15_hamming_topk",
-    "v13_matryoshka_rerank",
+    "x27_source_mixing", "x28_curation_pipeline",
+    "x29_chunk_documents", "x30_semantic_decontamination",
+    "x31_lsh_calibration", "x32_source_caps",
+    # V. similarity search (v1/v2/v3 -> driver-green, pytest mirror;
+    # v12/v16 enter for their first driver row)
+    "v8_cosine_range", "v9_sq8_topk", "v11_ann_recall", "v12_knn_graph",
+    "v15_hamming_topk", "v13_matryoshka_rerank", "v16_kcenter_coreset",
     # M. multimodal
     "m3_frame_sample",
     # K. graph (SQL-oracled rows; iterative k3/k5/k8/k10/k13+ are
-    # numpy/networkx-pinned; k1/k6/k11/k12/k16/k19 -> driver-green,
-    # pytest mirror)
+    # numpy/networkx-pinned; k1/k6/k11/k12/k16/k19/k35/k36/k37 ->
+    # driver-green, pytest mirror; k41/k52-k57 enter for their first
+    # driver row)
     "k4_connected_components", "k20_scc",
     "k26_bipartite_projection", "k28_butterflies", "k31_conductance",
     "k33_condensation_levels", "k34_two_hop_reach",
-    "k35_transitivity", "k36_reciprocity", "k37_degree_distribution",
     "k38_scan_similarity", "k39_triad_motifs",
     "k40_partition_agreement", "k41_rich_club",
+    "k52_burt_constraint", "k53_clique_percolation",
+    "k54_temporal_reachability", "k55_closeness",
+    "k56_double_sweep", "k57_landmark_estimate",
     # ---- position 51+: registered, pytest-oracled, outside driver window ----
     # (rotated out or never in: every entry here is hash-matched by the
     # all-entries pytest mirror and scripts/preflight.py --all each round)
-    # second continuation batch (this session), SQL-oracled, awaiting a
-    # future rotation once hash-green:
-    "v12_knn_graph", "v14_semdedup", "x28_curation_pipeline",
+    "c12_exists_subquery", "c13_not_in_subquery", "c14_scalar_subquery",
+    "d13_pivot", "d14_unpivot", "e7_sessionization", "e8_cume_dist",
+    "g4_union_by_name", "h11_posexplode", "h12_sequence_gapfill",
+    "x20_boilerplate_grams", "x22_containment_pairs", "x23_tfidf_topk",
+    "k35_transitivity", "k36_reciprocity", "k37_degree_distribution",
+    "v14_semdedup",
     "c1_join_inner_agg", "d1_groupby_agg", "d6_deterministic_argmax",
     "v4_ivf_topk",
     "f3_global_topk", "g1_union",
@@ -110,7 +127,7 @@ _PRIORITY = [
     "x4_ngram_jaccard_pairs", "x17_sequence_packing",
     "v1_cosine_topk", "k1_degrees", "k6_triangles",
     "k11_clustering_coefficient",
-    "e1_rownum_latest", "c9_asof_join", "i10_stream_static_join_batch",
+    "e1_rownum_latest", "c9_asof_join",
     "x1_dedup_exact", "x2_minhash_signature", "x9_simhash",
     "x11_repetition_metrics", "x12_decontamination",
     "v2_lsh_sign_buckets", "v3_embedding_neardup",
@@ -134,7 +151,7 @@ _PRIORITY = [
     "h6_math", "h7_array_functions", "h8_higher_order_dot",
     "h10_json", "i2_tumbling_window_batch",
     "m2_blob_features", "x3_minhash_lsh_buckets", "x5_token_count", "x6_quality_score",
-    "x7_langid_heuristic", "x8_fingerprint",
+    "x7_langid_heuristic",
     "v5_kmeans_clusters", "v6_pq_topk", "v7_ivfpq_topk",
     "k3_pagerank_top20", "k5_lpa_community_sizes", "k8_corpus_pipeline",
     "k10_kcore", "k13_louvain_communities", "k14_ppr_top20",
@@ -150,13 +167,6 @@ _PRIORITY = [
     "k44_local_community", "k45_heavy_matching", "k46_coarsen",
     "k47_densest_subgraph", "k48_doulion_triangles", "k8b_incremental_edges",
     "k49_msf", "k50_leiden_communities", "k51_onion_layers",
-    "k52_burt_constraint", "k53_clique_percolation",
-    # round-3 fifth-continuation batch (this session), SQL-oracled,
-    # awaiting a future rotation once hash-green:
-    "k54_temporal_reachability", "k55_closeness",
-    "x29_chunk_documents", "x30_semantic_decontamination",
-    "v16_kcenter_coreset", "x31_lsh_calibration",
-    "k56_double_sweep", "x32_source_caps", "k57_landmark_estimate",
     "k58_simrank",
 ]
 

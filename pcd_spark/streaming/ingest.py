@@ -344,9 +344,18 @@ def enrich_with_dimension(
     the time bound is what bounds state.
 
     Batch twin with DuckDB oracle: relational.queries.i10b (same join +
-    per-segment rollup)."""
+    per-segment rollup).
+
+    The dimension key is renamed to a PRIVATE name and the join written as
+    an explicit cross-lineage predicate (then dropped) instead of
+    ``events.join(d, key)``: when the caller derives both sides from the
+    same source (self-enrichment), the name-based equi-join can resolve
+    both key references to one attribute id — the analyzer's "trivially
+    true equals predicate" warning class, which silently turns the join
+    into a cross product filter. The distinct-name form cannot alias."""
+    _dk = "__pcd_dim_key"
     d = dim.select(
-        F.col(dim_key).alias(key),
+        F.col(dim_key).alias(_dk),
         *[F.col(c) for c in dim_cols],
     )
-    return events.join(d, key, "inner")
+    return events.join(d, events[key] == d[_dk], "inner").drop(_dk)

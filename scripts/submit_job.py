@@ -40,6 +40,13 @@ def main() -> None:
                     help="sampled sources for --algo betweenness")
     ap.add_argument("--source", type=int, action="append", default=None,
                     help="source vertex for --algo sssp or personalized pagerank (repeatable)")
+    ap.add_argument("--max-vertices", type=int, default=20_000,
+                    help="vertex-count guard for --algo simrank: SimRank "
+                         "state is O(V^2)-dense by construction, so the CLI "
+                         "refuses graphs above this bound instead of blowing "
+                         "up state/runtime — run it on an ego/cohort "
+                         "subgraph (the library docstring's design point) "
+                         "or raise this knob deliberately")
     args = ap.parse_args()
 
     # SparkSession comes from spark-submit; imports resolve from --py-files
@@ -180,6 +187,20 @@ def main() -> None:
     elif args.algo == "simrank":
         from pcd_spark.graph import simrank
 
+        # fail fast before building O(V^2) pair state on an unbounded input
+        n_v = (
+            edges.selectExpr("src as vid")
+            .unionByName(edges.selectExpr("dst as vid"))
+            .distinct()
+            .count()
+        )
+        if n_v > args.max_vertices:
+            raise SystemExit(
+                f"--algo simrank: graph has {n_v} vertices, above the "
+                f"--max-vertices guard ({args.max_vertices}). SimRank pair "
+                "state is O(V^2)-dense; extract an ego/cohort subgraph "
+                "first, or raise --max-vertices deliberately."
+            )
         res = simrank(edges, max_iter=args.max_iter, eps=1e-4,
                       stats_out=stats)
     elif args.algo == "closeness":

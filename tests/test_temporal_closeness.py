@@ -293,3 +293,36 @@ def test_negative_weights_raise(spark):
         shortest_paths(df, [0], weight_col="w")
     with pytest.raises(ValueError, match="non-negative"):
         landmark_distances(df, [0], weight_col="w")
+
+
+def test_temporal_negative_times_raise(spark):
+    """ADVICE r3: roots seed at arrival = -1, so a pre-1970 (negative)
+    epoch would silently fail the first-hop `t >= arrival` filter —
+    the engine must refuse instead of dropping usable edges."""
+    df = _inter_df(spark, [(0, 1, 5), (1, 2, -3)])
+    with pytest.raises(ValueError, match="non-negative interaction"):
+        temporal_reachability(df, [0], max_hops=2)
+
+
+def test_landmark_cohort_change_trips_checkpoint_guard(spark, graphs, tmp_path):
+    """ADVICE r3: the checkpoint graph_token folds in a digest of the
+    landmark/source cohort — resuming the same store (fixed run_id, the
+    CLI pattern) with a DIFFERENT cohort on the same graph must raise,
+    not silently resume the old cohort's state."""
+    from pcd_spark.graph import shortest_paths
+    from pcd_spark.storage import CheckpointStore
+
+    g = graphs["er_200"]
+    df = edges_df(spark, g["edges"])
+
+    store = CheckpointStore(str(tmp_path / "lm"), "landmarks", run_id="submit")
+    landmark_distances(df, [0, 7], store=store, checkpoint_every=1)
+    with pytest.raises(ValueError, match="graph"):
+        landmark_distances(df, [0, 8], store=store, checkpoint_every=1)
+    # identical cohort resumes fine (token matches)
+    landmark_distances(df, [0, 7], store=store, checkpoint_every=1)
+
+    store2 = CheckpointStore(str(tmp_path / "sp"), "sssp", run_id="submit")
+    shortest_paths(df, [0], store=store2, checkpoint_every=1)
+    with pytest.raises(ValueError, match="graph"):
+        shortest_paths(df, [3], store=store2, checkpoint_every=1)
