@@ -82,6 +82,11 @@ GOLDEN = {
     "k49_msf": (1999, "3321eef899a376bc"),
     "k50_leiden_communities": (12, "e45e66e9e80dc98a"),
     "k51_onion_layers": (2000, "0a64e8efc89751db"),
+    # round 4: K58 SimRank — the last rows-only entry (besides the
+    # env-stubbed m2) without a value hash. Same two-session
+    # (cores=8,sp=16)/(cores=4,sp=8) stability check before pinning; the
+    # numpy mirror is exact at 1e-9 in tests/test_simrank.py.
+    "k58_simrank": (200, "e2d3cd2024cba7c2"),
 }
 
 
