@@ -178,7 +178,8 @@ def onion_layers(
     edges: DataFrame,
     max_iter: int = 10_000,
     num_parts: int | None = None,
-    small_graph_cutoff: int = 200_000,
+    small_graph_cutoff: int = 2_000_000,
+    layer_batch: int = 6,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """K51: onion decomposition — (vid: long, layer: int) for every
@@ -199,16 +200,52 @@ def onion_layers(
     exactly; exactness vs nx.onion_layers and dual-path equality are pinned
     in tests/test_round3_ops.py.
 
-    Plan shape per layer: two alive-set semi-joins into the persisted
-    symmetric edge blocks + one degree hash-agg (the K10/K47 exchange
-    pattern) + one O(1) scalar agg for the minimum remaining degree. Layer
-    count is graph-dependent: tens on power-law graphs (each layer strips a
-    whole degree class), but O(V) on adversarial chains — max_iter exhaustion
-    raises rather than returning a partial decomposition. Graphs at or below
-    `small_graph_cutoff` edges peel on the driver — result-identical (the
-    rule is a deterministic pure function of integer degrees; equality is
-    pinned in tests), set small_graph_cutoff=0 to force the distributed
-    path."""
+    Round-4 cost model (all three measured in this sandbox): the
+    decomposition is LAYER-COUNT-bound — the sf0.1 co-occurrence graph
+    (1.3M edges) needs 144 layers, a 200k-edge power-law graph 269 — and
+    each distributed layer costs ~3 stages of fixed latency regardless of
+    how little it peels. Three mechanisms attack that, in order of
+    leverage:
+
+    1. DRIVER PEEL for graphs <= `small_graph_cutoff` edges (default 2M —
+       deliberately 10x the generic 200k class-scheduled rule: the generic
+       cutoff assumes ~10 supersteps, onion runs ~100s of rounds, so the
+       crossover sits an order of magnitude higher; the O(E) Python peel
+       runs 1.3M edges in ~2 s vs 65 s for the round-3 distributed form).
+       Result-identical — the rule is a deterministic pure function of
+       integer degrees; equality is pinned in tests. Set
+       small_graph_cutoff=0 to force the distributed path.
+    2. TAIL COLLAPSE in the distributed path: the remaining-subgraph edge
+       count (sum of live degrees / 2 — free on the batch Observation)
+       falls monotonically, and once it is <= the cutoff the rest of the
+       peel — exactly the layer-count-heavy deep-core tail, since early
+       layers strip whole low-degree classes — finishes on the driver in
+       one collect. At 10^12 edges this is the operative mechanism: the
+       distributed rounds do the O(E) mass removal, the driver does the
+       O(layers) sequential remainder on a bounded subgraph.
+    3. LAYER BATCHING: `layer_batch` consecutive layers are unrolled into
+       ONE job at a frozen core threshold, paying the per-job fixed cost
+       (driver round-trip, observe, eager localCheckpoint) once per batch.
+       EXACT by a no-op lemma: the only way the frozen threshold can be
+       stale is when the min remaining degree has risen ABOVE it (exactly
+       the event that raises `core`), and then the peel set `deg <= core`
+       is EMPTY — an empty peel changes no degree, so every later
+       sub-layer in the batch is empty too. A batch therefore advances
+       exactly min(layer_batch, cascade length at this core) real layers
+       and never needs rollback; the per-sub-layer peel counts ride the
+       batch's single Observation, and the driver re-raises `core`
+       between batches exactly as the sequential rule does. (Measured:
+       batching alone is a ~5-10% win — per-layer STAGE latency, which it
+       cannot remove, dominates the job-submission cost it does remove —
+       hence mechanisms 1 and 2 above carry the headline number.)
+
+    Plan shape per sub-layer: one peeled-batch semi-join into the persisted
+    symmetric edge blocks + one decrement hash-agg + one vid-keyed left
+    join (incremental degree maintenance — total degree work across all
+    layers is O(E), not O(E·layers)). Layer count is graph-dependent: tens
+    on power-law graphs (each layer strips a whole degree class), but O(V)
+    on adversarial chains — max_iter exhaustion raises rather than
+    returning a partial decomposition."""
     edges = edges.persist()
     p = num_parts or adaptive_num_parts(edges)
     sym = symmetrize(edges).repartition(p, "src").persist()
@@ -236,68 +273,170 @@ def onion_layers(
 
     from pcd_spark.graph.superstep import reset_plan_stats
 
-    def _watch(df: DataFrame, tag: str):
+    if layer_batch < 1:
+        raise ValueError("layer_batch must be >= 1")
+
+    def _watch(df: DataFrame, tag: str, peel_layers: list[int]):
         obs = Observation(tag)
         ck = df.observe(
             obs,
             F.min(F.when(F.col("layer") == 0, F.col("deg"))).alias("mdeg"),
             F.sum((F.col("layer") == 0).cast("long")).alias("nv"),
+            # live-degree sum = 2 x remaining-subgraph edges (the state
+            # invariant: a live vertex's deg counts only live neighbors)
+            # — the tail-collapse trigger rides the same Observation
+            F.sum(F.when(F.col("layer") == 0, F.col("deg"))).alias("sdeg"),
+            *[
+                F.sum((F.col("layer") == lv).cast("long")).alias(f"n{lv}")
+                for lv in peel_layers
+            ],
         ).localCheckpoint(eager=True)
         got = obs.get
-        return reset_plan_stats(ck), got["mdeg"], int(got["nv"] or 0)
+        peels = [int(got[f"n{lv}"] or 0) for lv in peel_layers]
+        return (
+            reset_plan_stats(ck),
+            got["mdeg"],
+            int(got["nv"] or 0),
+            int(got["sdeg"] or 0),
+            peels,
+        )
 
-    state, mdeg, nv = _watch(
+    state, mdeg, nv, sdeg, _ = _watch(
         sym.groupBy(F.col("src").alias("vid"))
         .agg(F.count(F.lit(1)).alias("deg"))
         .select("vid", "deg", F.lit(0).alias("layer")),
         "onion_init",
+        [],
     )
     core = 1
     layer = 0
+    jobs = 0
     while layer < max_iter:
         if nv == 0:
             break
-        layer += 1
+        if 0 < sdeg // 2 <= small_graph_cutoff or (
+            small_graph_cutoff > 0 and sdeg == 0
+        ):
+            # TAIL COLLAPSE: the remaining subgraph fits one task's
+            # working set — finish the (layer-count-heavy) deep-core peel
+            # on the driver. Same rule, same result: the live state's deg
+            # IS the remaining-subgraph degree, so collecting the live
+            # internal edges + live vertex set reproduces it exactly.
+            alive = state.filter(F.col("layer") == 0)
+            vids = [r["vid"] for r in alive.select("vid").collect()]
+            a_src = alive.select(F.col("vid").alias("src"))
+            a_dst = alive.select(F.col("vid").alias("dst"))
+            pairs = [
+                (r["src"], r["dst"])
+                for r in sym.join(a_src.hint("shuffle_hash"), "src", "leftsemi")
+                .join(a_dst.hint("shuffle_hash"), "dst", "leftsemi")
+                .filter(F.col("src") < F.col("dst"))
+                .select("src", "dst")
+                .collect()
+            ]
+            tail_stats: dict = {}
+            tail = _onion_local(
+                pairs, tail_stats, vids=vids, core0=core, layer0=layer
+            )
+            jobs += 1
+            layer = tail_stats["layers"]
+            core = tail_stats["max_core"]
+            spark = edges.sparkSession
+            out = (
+                state.filter(F.col("layer") > 0)
+                .select("vid", F.col("layer").cast("int").alias("layer"))
+                .unionByName(
+                    spark.createDataFrame(
+                        tail or [], "vid long, layer int"
+                    )
+                )
+                .localCheckpoint(eager=True)
+            )
+            if stats_out is not None:
+                stats_out["layers"] = layer
+                stats_out["max_core"] = core
+                stats_out["jobs"] = jobs
+                stats_out["tail_collapsed_at"] = sdeg // 2
+            sym.unpersist()
+            edges.unpersist()
+            return out
         core = max(core, int(mdeg))
-        upd = state.select(
-            "vid",
-            "deg",
-            F.when(
-                (F.col("layer") == 0) & (F.col("deg") <= F.lit(core)),
-                F.lit(layer),
+        bsz = min(layer_batch, max_iter - layer)
+        sub_layers = list(range(layer + 1, layer + bsz + 1))
+        cur = state
+        batch_cached: list[DataFrame] = []
+        for lv in sub_layers:
+            upd = cur.select(
+                "vid",
+                "deg",
+                F.when(
+                    (F.col("layer") == 0) & (F.col("deg") <= F.lit(core)),
+                    F.lit(lv),
+                )
+                .otherwise(F.col("layer"))
+                .alias("layer"),
             )
-            .otherwise(F.col("layer"))
-            .alias("layer"),
-        )
-        # INCREMENTAL degree maintenance: a remaining vertex's new degree is
-        # deg − |peeled neighbors this layer| — one semi-join + hash-agg
-        # over only the edges INCIDENT TO THE PEELED BATCH, so total degree
-        # work across all layers is O(E), not O(E·layers) (the recompute-
-        # from-scratch form rescanned the 1.3M-edge table ~60 times at
-        # sf0.1). Vertices decremented to 0 peel next layer (the nx rule).
-        peeled = upd.filter(F.col("layer") == F.lit(layer)).select("vid")
-        dec = (
-            sym.join(
-                peeled.withColumnRenamed("vid", "src").hint("shuffle_hash"),
-                "src",
-                "leftsemi",
+            # LAZY localCheckpoint: `upd` is a diamond (read by the
+            # decrement semi-join AND the final merge join). Without a
+            # boundary each consumer re-executes the whole unrolled
+            # prefix, compounding ~2x per sub-layer; a plain persist()
+            # shares the blocks but leaves the planner staring at B
+            # nested InMemoryRelations (measured: B=4 SLOWER than B=1
+            # either way on a 200k-edge graph — planning cost, not
+            # compute). The lazy checkpoint rewrites the plan to a
+            # LogicalRDD leaf immediately while deferring computation to
+            # the batch's single action, so both consumers share blocks
+            # AND every sub-layer plan stays shallow.
+            upd = upd.localCheckpoint(eager=False)
+            batch_cached.append(upd)
+            # INCREMENTAL degree maintenance: a remaining vertex's new
+            # degree is deg − |peeled neighbors this sub-layer| — one
+            # semi-join + hash-agg over only the edges INCIDENT TO THE
+            # PEELED BATCH, so total degree work across all layers is
+            # O(E), not O(E·layers) (the recompute-from-scratch form
+            # rescanned the 1.3M-edge table ~60 times at sf0.1).
+            # Vertices decremented to 0 peel next sub-layer (the nx rule).
+            peeled = upd.filter(F.col("layer") == F.lit(lv)).select("vid")
+            dec = (
+                sym.join(
+                    peeled.withColumnRenamed("vid", "src").hint(
+                        "shuffle_hash"
+                    ),
+                    "src",
+                    "leftsemi",
+                )
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.count(F.lit(1)).alias("_dec"))
             )
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.count(F.lit(1)).alias("_dec"))
-        )
-        nxt = upd.join(dec.hint("shuffle_hash"), "vid", "left").select(
-            "vid",
-            F.when(
-                F.col("layer") == 0,
-                F.col("deg") - F.coalesce("_dec", F.lit(0)),
+            cur = upd.join(dec.hint("shuffle_hash"), "vid", "left").select(
+                "vid",
+                F.when(
+                    F.col("layer") == 0,
+                    F.col("deg") - F.coalesce("_dec", F.lit(0)),
+                )
+                .otherwise(F.col("deg"))
+                .alias("deg"),
+                "layer",
             )
-            .otherwise(F.col("deg"))
-            .alias("deg"),
-            "layer",
-        )
         old = state
-        state, mdeg, nv = _watch(nxt, f"onion_{layer}")
+        state, mdeg, nv, sdeg, peels = _watch(
+            cur, f"onion_{layer}", sub_layers
+        )
         old.unpersist()
+        for df in batch_cached:
+            df.unpersist()
+        jobs += 1
+        # no-op lemma: empty sub-layers form a suffix (an empty peel leaves
+        # every degree — hence the next peel set — unchanged), so the batch
+        # advanced exactly `sum(n > 0)` real layers; `core >= mdeg` at
+        # entry guarantees the FIRST sub-layer peels the min-degree vertex,
+        # so progress (advanced >= 1) and termination are unconditional.
+        advanced = sum(1 for n in peels if n > 0)
+        assert advanced >= 1, "onion batch made no progress"
+        assert all(
+            n > 0 for n in peels[:advanced]
+        ), "onion no-op lemma violated: empty sub-layer before a non-empty one"
+        layer += advanced
     else:
         if nv != 0:
             raise RuntimeError(
@@ -308,6 +447,7 @@ def onion_layers(
     if stats_out is not None:
         stats_out["layers"] = layer
         stats_out["max_core"] = core
+        stats_out["jobs"] = jobs
     out = state.select(
         "vid", F.col("layer").cast("int").alias("layer")
     ).localCheckpoint(eager=True)
@@ -316,10 +456,22 @@ def onion_layers(
     return out
 
 
-def _onion_local(pairs, stats_out: dict | None):
+def _onion_local(
+    pairs,
+    stats_out: dict | None,
+    vids=None,
+    core0: int = 1,
+    layer0: int = 0,
+):
     """Driver-side onion peel — the same batch rule as the distributed path
     (and as networkx's sequential loop, whose per-layer membership is fixed
-    from a snapshot before any removal)."""
+    from a snapshot before any removal).
+
+    `vids`/`core0`/`layer0` support the tail collapse: an explicit live
+    vertex universe (a live vertex can be isolated WITHIN the remaining
+    subgraph — all neighbors already peeled — and must still get a layer),
+    the core threshold carried in from the distributed phase, and the
+    layer offset of the layers already assigned."""
     from collections import defaultdict
 
     nbrs: dict[int, set[int]] = defaultdict(set)
@@ -327,9 +479,12 @@ def _onion_local(pairs, stats_out: dict | None):
         if u != v:
             nbrs[u].add(v)
             nbrs[v].add(u)
-    deg = {v: len(ns) for v, ns in nbrs.items()}
-    core = 1
-    layer = 0
+    if vids is not None:
+        deg = {int(v): len(nbrs.get(int(v), ())) for v in vids}
+    else:
+        deg = {v: len(ns) for v, ns in nbrs.items()}
+    core = core0
+    layer = layer0
     out: list[tuple[int, int]] = []
     while deg:
         layer += 1

@@ -1002,6 +1002,65 @@ class TestOnionLayers:
                 if core[u] < core[v]:
                     assert layer[u] < layer[v]
 
+    def test_layer_batching_is_exact_across_batch_sizes(self, spark):
+        # the no-op lemma (empty peel => every later sub-layer empty) makes
+        # the B-unrolled batch exact for ANY B; pin B=1 (the round-3
+        # one-job-per-layer form), a small B that straddles core rises, and
+        # the default against each other and networkx
+        from pcd_spark.graph import onion_layers
+
+        G = nx.karate_club_graph()
+        edges = sorted((min(u, v), max(u, v)) for u, v in G.edges())
+        df = edges_df(spark, edges)
+        want = nx.onion_layers(G)
+        stats_by_b = {}
+        for b in (1, 2, 6):
+            st: dict = {}
+            got = {
+                r["vid"]: r["layer"]
+                for r in onion_layers(
+                    df, small_graph_cutoff=0, layer_batch=b, stats_out=st
+                ).collect()
+            }
+            assert got == want, f"layer_batch={b}"
+            stats_by_b[b] = st
+        # same real-layer count every time; bigger batches take fewer jobs
+        layer_counts = {st["layers"] for st in stats_by_b.values()}
+        assert len(layer_counts) == 1
+        assert stats_by_b[6]["jobs"] < stats_by_b[1]["jobs"]
+        assert stats_by_b[1]["jobs"] == stats_by_b[1]["layers"]
+
+    def test_tail_collapse_matches_distributed_and_networkx(self, spark):
+        # start distributed (initial edges above the cutoff), collapse the
+        # deep-core tail once the remaining subgraph fits the cutoff; the
+        # combined result must equal networkx and the pure-distributed run
+        from pcd_spark.graph import onion_layers
+
+        # BA(m=2) is 2-degenerate: the peel sheds edges gradually across
+        # many layers, so the remaining-edge count actually crosses the
+        # cutoff mid-run (a GNP graph keeps most edges in its deep core
+        # until the end and would finish distributed without collapsing)
+        G = nx.barabasi_albert_graph(500, 2, seed=7)
+        G.remove_nodes_from(list(nx.isolates(G)))
+        edges = sorted((min(u, v), max(u, v)) for u, v in G.edges())
+        assert len(edges) > 900
+        df = edges_df(spark, edges)
+        st: dict = {}
+        got = {
+            r["vid"]: r["layer"]
+            for r in onion_layers(
+                df, small_graph_cutoff=len(edges) // 3, stats_out=st
+            ).collect()
+        }
+        assert "tail_collapsed_at" in st  # the collapse actually fired
+        assert st["tail_collapsed_at"] <= len(edges) // 3
+        assert got == nx.onion_layers(G)
+        dist = {
+            r["vid"]: r["layer"]
+            for r in onion_layers(df, small_graph_cutoff=0).collect()
+        }
+        assert got == dist
+
     def test_chain_needs_linear_layers_and_raises_on_exhaustion(self, spark):
         from pcd_spark.graph import onion_layers
 
