@@ -6,14 +6,16 @@ entry(spark)  — flagship: derive the customer–supplier interaction graph fro
 queries()     — one entry per implemented operator from SURVEY.md §2
                 (relational surface B–H incl. the C12–C14 subquery forms,
                 E8/G5, H11/H12 generators, D15 heavy hitters, streaming
-                batch twins, text/dedup/similarity/vector ops X1–X32 /
-                V1–V16 incl. X29 chunking, X30 semantic decontamination,
-                X31 LSH calibration, X32 per-source caps and V16 k-center
-                coreset, multimodal, graph algorithms K1–K58 incl. K50
-                Leiden, K53 3-clique percolation, K54 temporal
+                batch twins, text/dedup/similarity/vector ops X1–X34 /
+                V1–V17 incl. X29 chunking, X30 semantic decontamination,
+                X31 LSH calibration, X32 per-source caps, X33 winnowing
+                fingerprints, X34 Zipf fit, V16 k-center coreset and V17
+                embedding audit, multimodal, graph algorithms K1–K60
+                incl. K50 Leiden, K53 3-clique percolation, K54 temporal
                 reachability, K55 closeness via batched landmark BFS, K56
-                double-sweep diameter, K57 landmark distance estimation
-                and K58 SimRank), each (spark, sf_dir) -> DataFrame.
+                double-sweep diameter, K57 landmark distance estimation,
+                K58 SimRank, K59 disparity backbone and K60 edge
+                burstiness), each (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent ANSI SQL per query where expressible;
                 iterative-to-convergence algorithms (PageRank/LPA) and the
                 synthesized-corpus pipeline are rows-only by design — their

@@ -41,6 +41,14 @@ _ALL: dict = {**_CORE, **_TEXT, **_GRAPH}
 # mirror). Every family keeps in-window representatives: C keeps c1+c11,
 # E keeps e6/e7/e8, I keeps i8/i9, X keeps 9, V keeps v1/v4/v8/v9,
 # K keeps 14.
+# Window policy (round 4, new-operator batch), same rule: the five NEW
+# round-4 SQL-oracled operators (k59 disparity backbone, k60 edge
+# burstiness, x33 winnowing fingerprints, x34 Zipf fit, v17 embedding
+# audit) enter the window for their first driver row, displacing five
+# unchanged-since-green entries (x19, x21, v11, v13, k26 — r03-green,
+# code untouched, preflight + pytest-mirror re-verified every run).
+# X keeps 12 reps incl. x33/x34, V keeps v8/v9/v12/v15/v16/v17,
+# K keeps 17 incl. k59/k60.
 # Window policy (round 4), same rule: the sixteen SQL-oracled operators
 # that have NEVER had a driver row (i10 — re-verified this round after the
 # dimension-side aliasing fix, k41, k52-k57, v12, v16, x8, x28-x32; all
@@ -88,15 +96,15 @@ _PRIORITY = [
     # enter for their first driver row)
     "x8_fingerprint", "x10_neardup_clusters",
     "x14_dedup_keep_best",
-    "x19_source_quality_gate", "x21_word_entropy",
     "x24_shared_spans", "x25_lm_quality", "x26_segment_dedup_rewrite",
     "x27_source_mixing", "x28_curation_pipeline",
     "x29_chunk_documents", "x30_semantic_decontamination",
     "x31_lsh_calibration", "x32_source_caps",
+    "x33_winnowing_fingerprints", "x34_zipf_fit",
     # V. similarity search (v1/v2/v3 -> driver-green, pytest mirror;
-    # v12/v16 enter for their first driver row)
-    "v8_cosine_range", "v9_sq8_topk", "v11_ann_recall", "v12_knn_graph",
-    "v15_hamming_topk", "v13_matryoshka_rerank", "v16_kcenter_coreset",
+    # v12/v16/v17 enter for their first driver row)
+    "v8_cosine_range", "v9_sq8_topk", "v12_knn_graph",
+    "v15_hamming_topk", "v16_kcenter_coreset", "v17_embedding_audit",
     # M. multimodal
     "m3_frame_sample",
     # K. graph (SQL-oracled rows; iterative k3/k5/k8/k10/k13+ are
@@ -104,16 +112,19 @@ _PRIORITY = [
     # driver-green, pytest mirror; k41/k52-k57 enter for their first
     # driver row)
     "k4_connected_components", "k20_scc",
-    "k26_bipartite_projection", "k28_butterflies", "k31_conductance",
+    "k28_butterflies", "k31_conductance",
     "k33_condensation_levels", "k34_two_hop_reach",
     "k38_scan_similarity", "k39_triad_motifs",
     "k40_partition_agreement", "k41_rich_club",
     "k52_burt_constraint", "k53_clique_percolation",
     "k54_temporal_reachability", "k55_closeness",
     "k56_double_sweep", "k57_landmark_estimate",
+    "k59_disparity_backbone", "k60_edge_burstiness",
     # ---- position 51+: registered, pytest-oracled, outside driver window ----
     # (rotated out or never in: every entry here is hash-matched by the
     # all-entries pytest mirror and scripts/preflight.py --all each round)
+    "x19_source_quality_gate", "x21_word_entropy",
+    "v11_ann_recall", "v13_matryoshka_rerank", "k26_bipartite_projection",
     "c12_exists_subquery", "c13_not_in_subquery", "c14_scalar_subquery",
     "d13_pivot", "d14_unpivot", "e7_sessionization", "e8_cume_dist",
     "g4_union_by_name", "h11_posexplode", "h12_sequence_gapfill",

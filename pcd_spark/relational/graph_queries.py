@@ -1350,19 +1350,14 @@ def k41(spark, sf):
     return rich_club(part_cooccurrence_edges(spark, sf), ks=(48, 80, 112, 144))
 
 
-@g("k42_weighted_pagerank", None)  # iterative; numpy-weighted oracle + golden
-def k42(spark, sf):
-    """K42 (round 3): WEIGHTED PageRank top-20 — edge weight = number of
-    orders linking the customer to the supplier (interaction multiplicity),
-    so a customer's rank mass flows proportionally to relationship
-    strength, not uniformly (K3). On a dependency graph the weight is
-    import multiplicity — the form the north-star pipeline actually wants.
-
-    Spark shape: identical superstep plan to K3 (the engine's weight_col
-    just swaps two literals for column references — same joins, same ONE
-    wide shuffle per superstep); the weighted edge table adds one hash agg
-    (pair multiplicity) before symmetrization. Exactness: numpy weighted-
-    PageRank oracle + sf0.01 golden value-hash in pytest."""
+def weighted_pagerank_top20(spark, sf, tol: float = 1e-8):
+    """K42 body with the convergence tolerance exposed. The registry pins
+    tol=1e-8 (the golden-hashed research-grade fixpoint, ~117 supersteps on
+    this bipartite graph — the damping-limited rate bound
+    ln(1e-8)/ln(0.85) ≈ 113, inherent, not a plan defect); bench.py runs
+    tol=1e-6 (~58 supersteps) as the documented production operating
+    point so the per-superstep cost is visible in the driver artifact
+    without paying the doubled iteration count every round."""
     li, o = load(spark, sf, "lineitem"), load(spark, sf, "orders")
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -1380,12 +1375,28 @@ def k42(spark, sf):
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
         )
     )
-    pr = pagerank(sym, tol=1e-8, weight_col="weight")
+    pr = pagerank(sym, tol=tol, weight_col="weight")
     return (
         pr.select("vid", F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("vid"))
         .limit(20)
     )
+
+
+@g("k42_weighted_pagerank", None)  # iterative; numpy-weighted oracle + golden
+def k42(spark, sf):
+    """K42 (round 3): WEIGHTED PageRank top-20 — edge weight = number of
+    orders linking the customer to the supplier (interaction multiplicity),
+    so a customer's rank mass flows proportionally to relationship
+    strength, not uniformly (K3). On a dependency graph the weight is
+    import multiplicity — the form the north-star pipeline actually wants.
+
+    Spark shape: identical superstep plan to K3 (the engine's weight_col
+    just swaps two literals for column references — same joins, same ONE
+    wide shuffle per superstep); the weighted edge table adds one hash agg
+    (pair multiplicity) before symmetrization. Exactness: numpy weighted-
+    PageRank oracle + sf0.01 golden value-hash in pytest."""
+    return weighted_pagerank_top20(spark, sf, tol=1e-8)
 
 
 @g("k43_edge_betweenness", None)  # iterative 2-phase Brandes; nx-pinned
@@ -2028,3 +2039,165 @@ def k58(spark, sf):
     return res.select(
         "u", "v", F.round("s", 6).alias("s")
     ).orderBy(F.desc("s"), "u", "v").limit(200)
+
+
+_WEIGHTED_PAIR_SQL = f"""
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+    SELECT DISTINCT o_orderkey, o_custkey AS src,
+                    {SUPPLIER_OFFSET} + l_suppkey AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+  GROUP BY src, dst
+"""
+
+
+@g(
+    "k59_disparity_backbone",
+    f"""WITH pairs AS ({_WEIGHTED_PAIR_SQL}),
+        sym AS (SELECT src, dst, w FROM pairs
+                UNION ALL SELECT dst, src, w FROM pairs),
+        vstat AS (SELECT src AS vid, SUM(w) AS s, COUNT(*) AS k
+                  FROM sym GROUP BY src),
+        alpha AS (
+          SELECT e.src, e.dst,
+                 ROUND(POWER(1.0 - e.w / v.s, v.k - 1), 6) AS a
+          FROM sym e JOIN vstat v ON e.src = v.vid)
+        SELECT f.src, f.dst, CAST(p.w AS BIGINT) AS weight,
+               f.a AS alpha_src, b.a AS alpha_dst
+        FROM alpha f
+        JOIN alpha b ON f.src = b.dst AND f.dst = b.src
+        JOIN pairs p ON f.src = p.src AND f.dst = p.dst
+        WHERE f.src < f.dst AND LEAST(f.a, b.a) < 0.05
+        ORDER BY f.src, f.dst""",
+)
+def k59(spark, sf):
+    """K59 (round 4): disparity-filter multiscale backbone [PUB: Serrano,
+    Boguna & Vespignani PNAS 2009] on the weighted customer-supplier
+    interaction graph (K42's multiplicity weights). The null model: a
+    vertex of degree k spreads its strength s uniformly at random; an
+    incident edge of weight w is SIGNIFICANT when its share would be that
+    extreme with probability alpha = (1 - w/s)^(k-1) below the cutoff
+    (0.05). Keeping edges significant from EITHER endpoint extracts the
+    multiscale backbone — the principled sparsifier a 10^12-edge link
+    graph runs before expensive downstream algorithms (vs naive global
+    weight thresholding, which erases every low-strength vertex's
+    neighborhood wholesale).
+
+    Spark shape: one hash-agg for per-vertex (strength, degree), one
+    vid-keyed join back to the symmetric edges (the K1 exchange pattern),
+    one src<dst self-pairing to expose both endpoints' alphas — NO
+    iteration, NO windows; at 10^12 edges this is two shuffles over the
+    edge table. alpha is ROUND'd 6 BEFORE the threshold compare on both
+    engines so a boundary edge cannot flip on fold-order ulp skew (the
+    v1/v8 discipline); k=1 vertices give alpha=(1-1)^0=1, never
+    significant — the null model has no surprise with one edge."""
+    li, o = load(spark, sf, "lineitem"), load(spark, sf, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("src"),
+            (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    vstat = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.sum("w").alias("s"), F.count("*").alias("k")
+    )
+    alpha = sym.join(vstat, sym.src == vstat.vid).select(
+        "src",
+        "dst",
+        F.round(
+            F.pow(F.lit(1.0) - F.col("w") / F.col("s"), F.col("k") - 1), 6
+        ).alias("a"),
+    )
+    fwd = alpha.select("src", "dst", F.col("a").alias("alpha_src"))
+    bwd = alpha.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.col("a").alias("alpha_dst"),
+    )
+    return (
+        fwd.join(bwd, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .filter(F.least("alpha_src", "alpha_dst") < 0.05)
+        .join(pairs.select("src", "dst", F.col("w").cast("long").alias("weight")),
+              ["src", "dst"])
+        .select("src", "dst", "weight", "alpha_src", "alpha_dst")
+        .orderBy("src", "dst")
+    )
+
+
+@g(
+    "k60_edge_burstiness",
+    f"""WITH inter AS (
+          SELECT DISTINCT o_custkey AS src,
+                 {SUPPLIER_OFFSET} + l_suppkey AS dst,
+                 CAST(epoch(o_orderdate) AS BIGINT) AS t
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        gaps AS (
+          SELECT src, dst,
+                 t - LAG(t) OVER (PARTITION BY src, dst ORDER BY t) AS gap
+          FROM inter),
+        stats AS (
+          SELECT src, dst, COUNT(gap) AS n_gaps,
+                 AVG(gap) AS mu, STDDEV_POP(gap) AS sigma
+          FROM gaps WHERE gap IS NOT NULL GROUP BY src, dst)
+        SELECT src, dst, CAST(n_gaps + 1 AS BIGINT) AS n_events,
+               ROUND((sigma - mu) / (sigma + mu), 6) AS burstiness
+        FROM stats WHERE n_gaps >= 2 AND mu > 0
+        ORDER BY burstiness DESC, src, dst LIMIT 200""",
+)
+def k60(spark, sf):
+    """K60 (round 4): temporal edge burstiness [PUB: Goh & Barabasi EPL
+    2008, B = (sigma - mu)/(sigma + mu) over inter-event times] on the
+    timestamped interaction graph (K54's substrate). B -> 1 means bursty
+    trains (a crawler hammering a host, a hot dependency in a migration),
+    B ~ 0 Poisson, B -> -1 periodic (cron-like) — the temporal-shape
+    feature a link-graph pipeline wants next to K54's reachability:
+    WHICH recurring edges carry clustered activity.
+
+    Spark shape: one (src, dst)-keyed window (lag over event time — the
+    partition key IS the shuffle key, E5's rule) + one hash-agg for the
+    (mu, sigma) moments; pairs need >= 3 distinct events (>= 2 gaps) for a
+    defined sigma, and mu > 0 is guaranteed by DISTINCT event times.
+    ROUND'd 6 AFTER the ratio (single-expression moments, the d12
+    discipline); presentation order by burstiness then pair."""
+    li, o = load(spark, sf, "lineitem"), load(spark, sf, "orders")
+    from pyspark.sql import Window
+
+    inter = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).alias("dst"),
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("t"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("src", "dst").orderBy("t")
+    gaps = inter.select(
+        "src", "dst", (F.col("t") - F.lag("t").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    stats = gaps.groupBy("src", "dst").agg(
+        F.count("gap").alias("n_gaps"),
+        F.avg("gap").alias("mu"),
+        F.stddev_pop("gap").alias("sigma"),
+    )
+    return (
+        stats.filter((F.col("n_gaps") >= 2) & (F.col("mu") > 0))
+        .select(
+            "src",
+            "dst",
+            (F.col("n_gaps") + 1).cast("long").alias("n_events"),
+            F.round(
+                (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")),
+                6,
+            ).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), "src", "dst")
+        .limit(200)
+    )

@@ -3391,3 +3391,244 @@ def x32(spark, sf):
         .filter(F.col("src_rank") <= _SOURCE_CAP)
         .orderBy("source", "src_rank")
     )
+
+
+@qt(
+    "x33_winnowing_fingerprints",
+    """WITH norm AS (
+         SELECT doc_id,
+                LOWER(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS s
+         FROM documents),
+       grams AS (
+         SELECT doc_id,
+                unnest(generate_series(1, LENGTH(s) - 7)) AS pos,
+                LENGTH(s) - 7 AS ng, s
+         FROM norm WHERE LENGTH(s) >= 8),
+       keyed AS (
+         SELECT doc_id, pos, ng,
+                md5(substr(s, pos, 8))
+                  || lpad(CAST(pos AS VARCHAR), 8, '0') AS key
+         FROM grams),
+       win AS (
+         SELECT doc_id, pos, ng,
+                MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                  AS sel
+         FROM keyed)
+       SELECT DISTINCT doc_id,
+              CAST(substr(sel, 33, 8) AS BIGINT) AS pos,
+              substr(sel, 1, 32) AS fp
+       FROM win WHERE pos <= ng - 3
+       ORDER BY doc_id, pos""",
+)
+def x33(spark, sf):
+    """X33 (round 4): winnowing document fingerprints [PUB: Schleimer,
+    Wilkerson & Aiken SIGMOD 2003 — the MOSS algorithm]. Selects the
+    minimum k-gram hash (k=8 normalized chars) in every sliding window of
+    w=4 consecutive grams, which guarantees: any verbatim overlap of
+    length >= w+k-1 = 11 normalized chars between two documents SHARES at
+    least one selected fingerprint — the positional, locality-guaranteed
+    complement to X8 (whole-doc digest: position-blind) and X2/X3 (MinHash:
+    probabilistic). This is the fingerprint family plagiarism/provenance
+    scanners run corpus-wide; expected density 2/(w+1) keeps the index at
+    ~1/3 of the gram count.
+
+    Engine-portability trick: winnowing needs only SOME total order on
+    gram hashes, so both engines order the md5 HEX STRING, and the
+    rightmost-vs-leftmost tie rule is made explicit by minimizing
+    md5hex || zero-padded-position (leftmost minimum) — one string MIN
+    per window, no numeric hash conversion to drift between engines.
+    Spark shape: scan-side normalize -> posexplode(sequence) gram
+    generation -> ONE doc-keyed window MIN (partition key = shuffle key)
+    -> distinct; at 100 TB the gram explosion never leaves its scan task
+    and only selected fingerprints (~gram_count x 2/(w+1), deduped)
+    shuffle for the distinct."""
+    d = _spread(load(spark, sf, "documents")).select(
+        "doc_id",
+        F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")).alias("s"),
+    ).filter(F.length("s") >= 8)
+    grams = d.select(
+        "doc_id",
+        (F.length("s") - 7).alias("ng"),
+        F.posexplode(F.sequence(F.lit(1), F.length("s") - 7)).alias(
+            "_i", "pos"
+        ),
+        F.col("s"),
+    ).select(
+        "doc_id",
+        "ng",
+        "pos",
+        F.concat(
+            F.md5(F.col("s").substr(F.col("pos"), F.lit(8))),
+            F.lpad(F.col("pos").cast("string"), 8, "0"),
+        ).alias("key"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    sel = (
+        grams.select("doc_id", "pos", "ng", F.min("key").over(w).alias("sel"))
+        .filter(F.col("pos") <= F.col("ng") - 3)
+        .select(
+            "doc_id",
+            F.substring("sel", 33, 8).cast("long").alias("pos"),
+            F.substring("sel", 1, 32).alias("fp"),
+        )
+        .distinct()
+    )
+    return sel.orderBy("doc_id", "pos")
+
+
+@qt(
+    "x34_zipf_fit",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+                     FROM documents WHERE length(text) > 0),
+       freq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS f
+                FROM toks WHERE w <> '' GROUP BY w),
+       ranked AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS r
+                  FROM freq),
+       top AS (SELECT LN(r) AS x, LN(f) AS y FROM ranked WHERE r <= 200),
+       s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                    SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+             FROM top)
+       SELECT CAST(n AS BIGINT) AS n_ranks,
+              ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+              ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+                AS intercept,
+              ROUND(POWER(n*sxy - sx*sy, 2)
+                    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+       FROM s""",
+)
+def x34(spark, sf):
+    """X34 (round 4): Zipf-law fit over the corpus token frequency
+    spectrum [PUB: Zipf 1949; Piantadosi 2014 review] — OLS slope of
+    ln(freq) on ln(rank) over the top-200 ranks, plus R^2. Natural text
+    sits near slope -1 with high R^2; corpora polluted by templates,
+    machine-generated spam, or truncation drift measurably (flatter
+    slope, lower fit) — a one-row corpus-health gauge the curation
+    pipeline (x19/x27/x32) reads before committing a mix, and a
+    distribution-shift tripwire between ingestion snapshots.
+
+    Same tokenizer as X21 (split on ' ', drop empties) so the two quality
+    ops share one vocabulary definition. Spark shape: scan-side explode ->
+    ONE word hash-agg (partial/map-side combinable) -> top-200 via the
+    F3 TakeOrdered pattern -> one 6-term scalar agg; the regression is
+    closed-form in the sums, no driver math beyond the final row."""
+    toks = (
+        _spread(load(spark, sf, "documents"))
+        .filter(F.length("text") > 0)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    freq = toks.groupBy("w").agg(F.count("*").cast("double").alias("f"))
+    ranked = freq.select(
+        "f", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w"))).alias("r")
+    ).filter(F.col("r") <= 200)
+    top = ranked.select(F.log("r").alias("x"), F.log("f").alias("y"))
+    s = top.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+@qt(
+    "v17_embedding_audit",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+       norms AS (SELECT vec_id, SQRT(list_dot_product(emb, emb)) AS nrm,
+                        len(emb) AS dim
+                 FROM e),
+       nstat AS (SELECT COUNT(*) AS n, MAX(dim) AS dim,
+                        AVG(nrm) AS mean_norm, STDDEV_POP(nrm) AS std_norm,
+                        MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+                 FROM norms),
+       comp AS (SELECT unnest(generate_series(1, len(emb))) AS d,
+                       unnest(emb) AS val
+                FROM e),
+       mvec AS (SELECT d, AVG(val) AS m FROM comp GROUP BY d),
+       mnorm AS (SELECT SQRT(SUM(m*m)) AS mean_vec_norm FROM mvec)
+       SELECT CAST(n AS BIGINT) AS n_vectors, CAST(dim AS BIGINT) AS dim,
+              ROUND(mean_norm, 6) AS mean_norm,
+              ROUND(std_norm, 6) AS std_norm,
+              ROUND(min_norm, 6) AS min_norm,
+              ROUND(max_norm, 6) AS max_norm,
+              ROUND(mean_vec_norm / mean_norm, 6) AS anisotropy
+       FROM nstat, mnorm""",
+)
+def v17(spark, sf):
+    """V17 (round 4): embedding-space audit — norm distribution
+    (mean/std/min/max) plus ANISOTROPY, the ratio ||mean vector|| /
+    mean ||v|| [PUB: Ethayarajh EMNLP 2019 "How contextual are
+    contextualized representations?"; Mu & Viswanath ICLR 2018 all-but-
+    the-top]. Embeddings crammed into a narrow cone (anisotropy -> 1)
+    make cosine scores saturate and ANN recall collapse; near 0 means a
+    centered, well-spread space. This is the evaluate-before-trust gate
+    for the whole V family: run it BEFORE building v4/v6 indexes, because
+    a drifted encoder shows up here as one cheap row, not as a silent
+    recall regression after the index is built.
+
+    Spark shape: norms stay array-side (H8 aggregate/zip_with dot
+    products, no explosion); the mean vector needs per-dimension sums, so
+    ONE posexplode -> dim-keyed hash-agg (map-side combinable, output =
+    dim rows) -> one scalar norm; the two 1-row branches meet in the
+    x27/x28-exempted broadcast-scalar cross join."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    norms = e.select(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("emb"), F.col("emb"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+        F.size("emb").alias("dim"),
+    )
+    nstat = norms.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.max("dim").cast("long").alias("dim"),
+        F.avg("nrm").alias("mean_norm"),
+        F.stddev_pop("nrm").alias("std_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+    mvec = (
+        e.select(F.posexplode("emb").alias("d", "val"))
+        .groupBy("d")
+        .agg(F.avg("val").alias("m"))
+    )
+    mnorm = mvec.agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("mean_vec_norm")
+    )
+    return nstat.crossJoin(mnorm).select(
+        "n_vectors",
+        "dim",
+        F.round("mean_norm", 6).alias("mean_norm"),
+        F.round("std_norm", 6).alias("std_norm"),
+        F.round("min_norm", 6).alias("min_norm"),
+        F.round("max_norm", 6).alias("max_norm"),
+        F.round(F.col("mean_vec_norm") / F.col("mean_norm"), 6).alias(
+            "anisotropy"
+        ),
+    )
