@@ -3509,9 +3509,12 @@ def x34(spark, sf):
 
     Same tokenizer as X21 (split on ' ', drop empties) so the two quality
     ops share one vocabulary definition. Spark shape: scan-side explode ->
-    ONE word hash-agg (partial/map-side combinable) -> top-200 via the
-    F3 TakeOrdered pattern -> one 6-term scalar agg; the regression is
-    closed-form in the sums, no driver math beyond the final row."""
+    ONE word hash-agg (partial/map-side combinable) -> top-200 via the F3
+    TakeOrderedAndProject pattern (limit BEFORE ranking, so the
+    vocabulary never funnels through a partition-less Window — the
+    global_rank/no-single-partition-Window house rule) -> rank the 200
+    survivors -> one 6-term scalar agg; the regression is closed-form in
+    the sums, no driver math beyond the final row."""
     toks = (
         _spread(load(spark, sf, "documents"))
         .filter(F.length("text") > 0)
@@ -3519,9 +3522,14 @@ def x34(spark, sf):
         .filter(F.col("w") != "")
     )
     freq = toks.groupBy("w").agg(F.count("*").cast("double").alias("f"))
-    ranked = freq.select(
-        "f", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w"))).alias("r")
-    ).filter(F.col("r") <= 200)
+    # TakeOrderedAndProject bounds the set to 200 rows FIRST; the window
+    # then ranks a literal-sized frame (its single partition is 200 rows
+    # by construction, not the vocabulary)
+    top200 = freq.orderBy(F.desc("f"), F.asc("w")).limit(200)
+    ranked = top200.select(
+        "f",
+        F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w"))).alias("r"),
+    )
     top = ranked.select(F.log("r").alias("x"), F.log("f").alias("y"))
     s = top.agg(
         F.count("*").cast("double").alias("n"),

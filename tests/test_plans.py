@@ -106,12 +106,23 @@ PLAN_SWEEP = [
     # closeness are superstep-built (frontier equi joins; their per-hop
     # shape is pinned by the engines they share with k12)
     "x29_chunk_documents",
+    # round 4: k59 disparity backbone (two equi hash joins + one hash agg,
+    # no iteration), k60 burstiness (pair-keyed window + moments agg —
+    # the Window partitions by (src, dst)), x33 winnowing (Generate +
+    # doc-keyed window MIN + distinct — the gram explosion must stay
+    # join-free and Python-free)
+    "k59_disparity_backbone", "k60_edge_burstiness",
+    "x33_winnowing_fingerprints",
 ]
 # x27/x28 crossJoin a ONE-ROW global-stats frame (broadcast nested loop
 # with a literal-sized build side — the intended scalar-distribution
 # form) and v13's probe screen is v1's broadcast-probes scan; all three
 # get dedicated BuildLeft/BuildRight assertions below instead of the
-# sweep's blanket no-BNLJ rule.
+# sweep's blanket no-BNLJ rule. Round 4: v17 joins that scalar-combine
+# class (two 1-row stat branches crossJoined) and x34 ranks a
+# LIMIT-200-bounded frame (its single-partition Window input is literal-
+# sized by construction, not the vocabulary) — both pinned in
+# test_round4_plan_exemptions below instead of the sweep.
 # v10_mmr_rerank candidate generation IS v1's broadcast-probes scan — it
 # shares v1's sweep exemption and gets the same dedicated BuildLeft
 # assertion (test_v10_mmr_streams_big_side) instead. v11_ann_recall
@@ -258,6 +269,34 @@ def test_x25_plan_is_clean(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_round4_plan_exemptions(spark, sf_dir):
+    """x34 and v17 sit outside PLAN_SWEEP for documented reasons; these
+    are their equivalent assertions. x34: the only Window ranks a frame
+    ALREADY bounded to 200 rows by TakeOrderedAndProject (the vocabulary
+    itself never funnels through one partition), and nothing plans a
+    cartesian or row-wise Python. v17: the single BroadcastNestedLoopJoin
+    is the x27/x28-exempted 1-row-by-1-row scalar combine; no other join
+    exists and no Window at all."""
+    plan = _plan(spark, sf_dir, "x34_zipf_fit")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # the limit must be applied BELOW the window: TakeOrderedAndProject
+    # appears, and the window's exchange feeds from it, not from the
+    # full aggregate
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), (
+        "top-200 limit must sit under the ranking window", plan,
+    )
+
+    plan = _plan(spark, sf_dir, "v17_embedding_audit")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+    # exactly the one intended scalar-combine BNLJ (1-row x 1-row)
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
 
 
 def test_v11_recall_broadcasts_small_sides(spark, sf_dir):
