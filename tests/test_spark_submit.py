@@ -218,3 +218,20 @@ def test_submit_cli_simrank(tmp_path):
     scores = {(u, v): s for u, v, s in rows}
     assert all(0 < s <= 0.6 + 1e-12 for s in scores.values())
     assert scores[(0, 1)] == pytest.approx(scores[(4, 5)], abs=1e-12)
+
+
+def test_submit_cli_simrank_vertex_guard(tmp_path):
+    """ADVICE r3: --algo simrank must refuse an input above --max-vertices
+    BEFORE building O(V^2) pair state, with an actionable message; the
+    same graph passes when the guard is raised."""
+    snap = tmp_path / "g.txt"
+    snap.write_text("0 1\n1 2\n0 2\n3 4\n4 5\n3 5\n2 3\n7 8\n")  # 8 vertices
+    env = {**os.environ, "PYTHONPATH": REPO}
+    out = str(tmp_path / "s_out")
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "submit_job.py"),
+           "--algo", "simrank", "--snap", str(snap), "--out", out,
+           "--max-iter", "2", "--max-vertices", "3"]
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=str(tmp_path), timeout=600)
+    assert p.returncode != 0
+    assert "max-vertices" in p.stderr and "8 vertices" in p.stderr
