@@ -252,7 +252,19 @@ def run_graph_suite(spark, sf_scale: float, big: bool = False) -> dict:
         sec_ck = time.time() - t0
         iters = max(stats.get("iterations", 1), 1)
         n_ckpts = max(iters // 5, 1) + 1  # periodic + final
-        base = out["pagerank_ba"]["sec_per_superstep"] * iters
+        # baseline wall for the SAME iteration count WITHOUT durable
+        # checkpoints: per-call setup (transition build, init) estimated
+        # from the non-durable run's raw wall minus its step time, plus
+        # this run's step count x the min-estimator step cost. (Comparing
+        # against step-time alone would bill the setup to the checkpoints
+        # — measured 0.93 s/ckpt vs the honest ~0.1-0.3 s.)
+        pr_ba = out["pagerank_ba"]
+        setup = max(
+            min(pr_ba["raw_rep_secs"])
+            - pr_ba["sec_per_superstep"] * pr_ba["supersteps"],
+            0.0,
+        )
+        base = setup + pr_ba["sec_per_superstep"] * iters
         out["checkpoint_knob"] = {
             "algo": "pagerank_ba",
             "checkpoint_every": 5,
