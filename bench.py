@@ -818,18 +818,31 @@ def run_decade() -> None:
         f"pcd_decade_graph_{edges_n}.parquet",
     )
     if not os.path.exists(gpath):
-        from pcd_spark.session import get_spark, stop_spark
-        from pcd_spark.graph.generators import powerlaw_edges
-
+        # generate in a SUBPROCESS: SparkSession.stop() stops the context
+        # but the py4j gateway JVM lives as long as the python parent —
+        # an in-process gen here left a ~30 GB idle JVM squeezing the
+        # measurement workers for the whole run (observed live). The
+        # subprocess exit releases everything.
         t0 = time.time()
-        spark = get_spark("pcd-decade-gen", cores=32,
-                          shuffle_partitions=SCALING_PARTS)
-        spark.sparkContext.setLogLevel("ERROR")
-        powerlaw_edges(
-            spark, edges_n // 10, edges_n, alpha=2.0,
-            num_parts=SCALING_PARTS,
-        ).write.mode("overwrite").parquet(gpath)
-        stop_spark()
+        code = (
+            "import sys; sys.path.insert(0, '.')\n"
+            "from pcd_spark.session import get_spark\n"
+            "from pcd_spark.graph.generators import powerlaw_edges\n"
+            f"spark = get_spark('pcd-decade-gen', cores=32, "
+            f"shuffle_partitions={SCALING_PARTS})\n"
+            "spark.sparkContext.setLogLevel('ERROR')\n"
+            f"powerlaw_edges(spark, {edges_n}//10, {edges_n}, alpha=2.0, "
+            f"num_parts={SCALING_PARTS}).write.mode('overwrite')"
+            f".parquet({gpath!r})\n"
+        )
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True,
+        )
+        if p.returncode != 0:
+            print(f"GEN FAILED: {p.stderr[-500:]}", file=sys.stderr)
+            raise SystemExit(1)
         print(f"# generated {edges_n:,} edges in {time.time()-t0:.0f}s",
               file=sys.stderr)
 
