@@ -898,11 +898,12 @@ def run_decade() -> None:
     }
     lines = [
         "",
-        "## Round 4 — one decade of scale, measured (predicted vs actual)",
+        f"## Round 4 — {mult:g}x the per-superstep work, measured "
+        "(predicted vs actual)",
         "",
         f"Input: the same seeded power-law generator at {n_e:,} directed",
-        f"edges — 10x the 80M-edge efficiency pair, i.e. 10x the",
-        "per-superstep work the serial-fraction fit extrapolated to.",
+        f"edges — {mult:g}x the 80M-edge efficiency pair's per-superstep",
+        "work, the regime the serial-fraction fit extrapolated to.",
         f"Protocol identical to the headline pair ({reps} interleaved reps",
         f"per level, {steps} PageRank supersteps, parts fixed at"
         f" {SCALING_PARTS},",
