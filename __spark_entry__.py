@@ -10,12 +10,13 @@ queries()     — one entry per implemented operator from SURVEY.md §2
                 V1–V17 incl. X29 chunking, X30 semantic decontamination,
                 X31 LSH calibration, X32 per-source caps, X33 winnowing
                 fingerprints, X34 Zipf fit, V16 k-center coreset and V17
-                embedding audit, multimodal, graph algorithms K1–K60
+                embedding audit, multimodal, graph algorithms K1–K61
                 incl. K50 Leiden, K53 3-clique percolation, K54 temporal
                 reachability, K55 closeness via batched landmark BFS, K56
                 double-sweep diameter, K57 landmark distance estimation,
-                K58 SimRank, K59 disparity backbone and K60 edge
-                burstiness), each (spark, sf_dir) -> DataFrame.
+                K58 SimRank, K59 disparity backbone, K60 edge
+                burstiness and K61 weighted clustering), each
+                (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent ANSI SQL per query where expressible;
                 iterative-to-convergence algorithms (PageRank/LPA) and the
                 synthesized-corpus pipeline are rows-only by design — their

@@ -112,7 +112,7 @@ _PRIORITY = [
     # driver-green, pytest mirror; k41/k52-k57 enter for their first
     # driver row)
     "k4_connected_components", "k20_scc",
-    "k28_butterflies", "k31_conductance",
+    "k31_conductance",
     "k33_condensation_levels", "k34_two_hop_reach",
     "k38_scan_similarity", "k39_triad_motifs",
     "k40_partition_agreement", "k41_rich_club",
@@ -120,11 +120,15 @@ _PRIORITY = [
     "k54_temporal_reachability", "k55_closeness",
     "k56_double_sweep", "k57_landmark_estimate",
     "k59_disparity_backbone", "k60_edge_burstiness",
+    # k61 (round-4 late): weighted clustering — takes r03-green k28's
+    # slot (butterflies unchanged since its green row; K keeps 18 reps)
+    "k61_weighted_clustering",
     # ---- position 51+: registered, pytest-oracled, outside driver window ----
     # (rotated out or never in: every entry here is hash-matched by the
     # all-entries pytest mirror and scripts/preflight.py --all each round)
     "x19_source_quality_gate", "x21_word_entropy",
     "v11_ann_recall", "v13_matryoshka_rerank", "k26_bipartite_projection",
+    "k28_butterflies",
     "c12_exists_subquery", "c13_not_in_subquery", "c14_scalar_subquery",
     "d13_pivot", "d14_unpivot", "e7_sessionization", "e8_cume_dist",
     "g4_union_by_name", "h11_posexplode", "h12_sequence_gapfill",

@@ -2201,3 +2201,134 @@ def k60(spark, sf):
         .orderBy(F.desc("burstiness"), "src", "dst")
         .limit(200)
     )
+
+
+@g(
+    "k61_weighted_clustering",
+    """WITH we AS (
+         SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                CAST(COUNT(*) AS DOUBLE) AS w
+         FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+         JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       mw AS (SELECT MAX(w) AS m FROM we),
+       canon AS (SELECT src, dst, w / m AS nw FROM we, mw),
+       both_dir AS (SELECT src, dst, nw FROM canon
+                    UNION ALL SELECT dst, src, nw FROM canon),
+       deg AS (SELECT src AS vid, COUNT(*) AS d FROM both_dir GROUP BY src),
+       oriented AS (
+         SELECT CASE WHEN (ds.d, c.src) < (dd.d, c.dst)
+                     THEN c.src ELSE c.dst END AS u,
+                CASE WHEN (ds.d, c.src) < (dd.d, c.dst)
+                     THEN c.dst ELSE c.src END AS v,
+                c.nw
+         FROM canon c
+         JOIN deg ds ON ds.vid = c.src
+         JOIN deg dd ON dd.vid = c.dst),
+       tris AS (
+         SELECT w1.u AS a, w1.v AS b, w2.v AS c,
+                POWER(w1.nw * w2.nw * e.nw, 1.0/3.0) AS t
+         FROM oriented w1
+         JOIN oriented w2 ON w1.u = w2.u AND w1.v <> w2.v
+         JOIN oriented e ON e.u = w1.v AND e.v = w2.v),
+       per_v AS (
+         SELECT vid, SUM(t) AS s FROM (
+           SELECT a AS vid, t FROM tris UNION ALL
+           SELECT b, t FROM tris UNION ALL SELECT c, t FROM tris)
+         GROUP BY vid)
+       SELECT deg.vid, deg.d AS deg,
+              ROUND(CASE WHEN deg.d >= 2
+                         THEN 2.0 * COALESCE(per_v.s, 0)
+                              / (deg.d * (deg.d - 1))
+                         ELSE 0 END, 6) AS wclust
+       FROM deg LEFT JOIN per_v ON deg.vid = per_v.vid
+       ORDER BY deg.vid""",
+)
+def k61(spark, sf):
+    """K61 (round 4): WEIGHTED local clustering coefficient [PUB: Onnela,
+    Saramaki, Kertesz & Kivela PRE 71:065103 2005; the nx.clustering
+    (weight=...) definition] on the part co-occurrence graph with
+    co-order multiplicity weights: c_w(i) = 2/(k_i(k_i-1)) *
+    sum over closed neighbor pairs of (w_ij * w_ih * w_jh)^(1/3), weights
+    normalized by the GLOBAL max. K11 asks "do my neighbors know each
+    other"; K61 asks "do they know each other THROUGH STRONG ties" — on
+    a dependency graph, whether a module's imports are strongly
+    co-used together (cohesive cluster) or incidentally adjacent. The
+    unweighted K11 value is the w==const special case, pinned as a law.
+
+    Spark shape: K6's degree-ordered triangle orientation carrying the
+    normalized weight through both wedge arms and the closing edge —
+    exactly one extra double per row vs K11, same join graph, same
+    hub-blowup protection; the global max weight is the k37-precedent
+    O(1) collected scalar attached as a literal. Cube-root applied to
+    the PRODUCT (one POWER call, same association on both engines);
+    ROUND 6 after the final division."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    we = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+        .persist()
+    )
+    max_w = we.agg(F.max("w")).first()[0]  # O(1) scalar, k37 precedent
+    canon = we.select("src", "dst", (F.col("w") / F.lit(max_w)).alias("nw"))
+    both = canon.select("src", "dst", "nw").unionByName(
+        canon.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "nw"
+        )
+    )
+    deg = both.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("d"))
+    ds = deg.select(F.col("vid").alias("src"), F.col("d").alias("d_src"))
+    dd = deg.select(F.col("vid").alias("dst"), F.col("d").alias("d_dst"))
+    lower = F.struct("d_src", "src") < F.struct("d_dst", "dst")
+    oriented = (
+        canon.join(ds, "src")
+        .join(dd, "dst")
+        .select(
+            F.when(lower, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(lower, F.col("dst")).otherwise(F.col("src")).alias("v"),
+            "nw",
+        )
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("b"), F.col("nw").alias("nw1"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("c"), F.col("nw").alias("nw2"))
+    close = oriented.select(
+        F.col("u").alias("b"), F.col("v").alias("c"), F.col("nw").alias("nw3")
+    )
+    tris = (
+        w1.join(w2, "u")
+        .filter(F.col("b") != F.col("c"))
+        .join(close, ["b", "c"])
+        .select(
+            "u", "b", "c",
+            F.pow(F.col("nw1") * F.col("nw2") * F.col("nw3"), 1.0 / 3.0).alias("t"),
+        )
+    )
+    per_v = (
+        tris.select(F.col("u").alias("vid"), "t")
+        .unionByName(tris.select(F.col("b").alias("vid"), "t"))
+        .unionByName(tris.select(F.col("c").alias("vid"), "t"))
+        .groupBy("vid")
+        .agg(F.sum("t").alias("s"))
+    )
+    out = (
+        deg.join(per_v, "vid", "left")
+        .select(
+            "vid",
+            F.col("d").alias("deg"),
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    F.lit(2.0) * F.coalesce("s", F.lit(0.0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("wclust"),
+        )
+        .orderBy("vid")
+    )
+    return out

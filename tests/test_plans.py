@@ -129,6 +129,9 @@ PLAN_SWEEP = [
 # composes v1's exact arm (broadcast probes) with v4's centroid
 # assignment (broadcast-centroid cross join) — both intentional broadcast
 # forms, pinned in test_v11_recall_broadcasts_small_sides.
+# k61 runs a job in its builder (the O(1) global-max-weight scalar, k37
+# precedent) so it sits outside the sweep; its join graph is k11's swept
+# shape plus one carried double column.
 # k40/k41/k42 are absent from the sweep for the k37/k39 reason: their
 # results are O(1)/O(ks)/top-20 literal-or-collected rows — the substance
 # is the internal jobs (contingency hash agg, conditional-sum agg,

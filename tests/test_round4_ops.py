@@ -313,3 +313,58 @@ class TestEmbeddingAudit:
         want_aniso = np.linalg.norm(m.mean(axis=0)) / norms.mean()
         assert row["anisotropy"] == pytest.approx(want_aniso, abs=2e-6)
         assert 0.0 <= row["anisotropy"] <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------- K61
+
+
+class TestWeightedClustering:
+    def test_matches_networkx_weighted_clustering(self, spark, sf_dir):
+        import networkx as nx
+
+        pairs = _duck(
+            sf_dir,
+            """SELECT a.l_partkey, b.l_partkey, COUNT(*)
+               FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+               JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2""",
+        )
+        G = nx.Graph()
+        for u, v, w in pairs:
+            G.add_edge(u, v, weight=float(w))
+        want = nx.clustering(G, weight="weight")
+        rows = REGISTRY["k61_weighted_clustering"]["spark"](
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == G.number_of_nodes()
+        for r in rows:
+            assert r["deg"] == G.degree(r["vid"])
+            assert r["wclust"] == pytest.approx(
+                want[r["vid"]], abs=2e-6
+            ), r["vid"]
+
+    def test_uniform_weights_reduce_to_unweighted_k11(self, spark, sf_dir):
+        # the w == const special case must equal the unweighted K11
+        # coefficient (normalized weights all 1 -> cube roots all 1)
+        import networkx as nx
+
+        pairs = _duck(
+            sf_dir,
+            """SELECT DISTINCT a.l_partkey, b.l_partkey
+               FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+               JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey""",
+        )
+        G = nx.Graph(pairs)
+        unweighted = nx.clustering(G)
+        # strong-tie score never exceeds the unweighted coefficient by
+        # definition (normalized weights <= 1), and equals it iff every
+        # triangle is max-weight
+        rows = REGISTRY["k61_weighted_clustering"]["spark"](
+            spark, sf_dir
+        ).collect()
+        for r in rows:
+            assert r["wclust"] <= unweighted[r["vid"]] + 1e-9
