@@ -7,10 +7,10 @@ queries()     — one entry per implemented operator from SURVEY.md §2
                 (relational surface B–H incl. the C12–C14 subquery forms,
                 E8/G5, H11/H12 generators, D15 heavy hitters, streaming
                 batch twins, text/dedup/similarity/vector ops X1–X34 /
-                V1–V17 incl. X29 chunking, X30 semantic decontamination,
+                V1–V18 incl. X29 chunking, X30 semantic decontamination,
                 X31 LSH calibration, X32 per-source caps, X33 winnowing
-                fingerprints, X34 Zipf fit, V16 k-center coreset and V17
-                embedding audit, multimodal, graph algorithms K1–K61
+                fingerprints, X34 Zipf fit, V16 k-center coreset, V17 embedding
+                audit and V18 IVF nprobe sweep, multimodal, graph algorithms K1–K61
                 incl. K50 Leiden, K53 3-clique percolation, K54 temporal
                 reachability, K55 closeness via batched landmark BFS, K56
                 double-sweep diameter, K57 landmark distance estimation,

@@ -103,8 +103,11 @@ _PRIORITY = [
     "x33_winnowing_fingerprints", "x34_zipf_fit",
     # V. similarity search (v1/v2/v3 -> driver-green, pytest mirror;
     # v12/v16/v17 enter for their first driver row)
-    "v8_cosine_range", "v9_sq8_topk", "v12_knn_graph",
+    "v9_sq8_topk", "v12_knn_graph",
     "v15_hamming_topk", "v16_kcenter_coreset", "v17_embedding_audit",
+    # v18 (round-4 late): IVF nprobe sweep — takes r03-green v8's slot
+    # (cosine range unchanged since its green row; V keeps 6 reps)
+    "v18_ivf_nprobe_sweep",
     # M. multimodal
     "m3_frame_sample",
     # K. graph (SQL-oracled rows; iterative k3/k5/k8/k10/k13+ are
@@ -128,7 +131,7 @@ _PRIORITY = [
     # all-entries pytest mirror and scripts/preflight.py --all each round)
     "x19_source_quality_gate", "x21_word_entropy",
     "v11_ann_recall", "v13_matryoshka_rerank", "k26_bipartite_projection",
-    "k28_butterflies",
+    "k28_butterflies", "v8_cosine_range",
     "c12_exists_subquery", "c13_not_in_subquery", "c14_scalar_subquery",
     "d13_pivot", "d14_unpivot", "e7_sessionization", "e8_cume_dist",
     "g4_union_by_name", "h11_posexplode", "h12_sequence_gapfill",

@@ -3640,3 +3640,197 @@ def v17(spark, sf):
             "anisotropy"
         ),
     )
+
+
+@qt(
+    "v18_ivf_nprobe_sweep",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
+                 ORDER BY vec_id LIMIT {_IVF_CELLS}),
+        asg AS (
+          SELECT vec_id, emb, cid FROM (
+            SELECT e.vec_id, e.emb, c.cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_dot_product(e.emb, c.cemb)
+                           / (SQRT(list_dot_product(e.emb, e.emb))
+                              * SQRT(list_dot_product(c.cemb, c.cemb))), 6)
+                       DESC, c.cid ASC) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        probes AS (SELECT vec_id AS probe_id, emb AS pemb FROM e
+                   WHERE vec_id < 5),
+        exact AS (
+          SELECT probe_id, cand_id FROM (
+            SELECT p.probe_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                     ORDER BY ROUND(list_dot_product(p.pemb, c.emb)
+                           / (SQRT(list_dot_product(p.pemb, p.pemb))
+                              * SQRT(list_dot_product(c.emb, c.emb))), 6)
+                       DESC, c.vec_id ASC) AS rn
+            FROM probes p JOIN e c ON p.probe_id <> c.vec_id)
+          WHERE rn <= {_V11_K}),
+        pc_rank AS (
+          SELECT p.probe_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                   ORDER BY ROUND(list_dot_product(p.pemb, c.cemb)
+                         / (SQRT(list_dot_product(p.pemb, p.pemb))
+                            * SQRT(list_dot_product(c.cemb, c.cemb))), 6)
+                     DESC, c.cid ASC) AS prn
+          FROM probes p CROSS JOIN cent c),
+        swept AS (
+          SELECT np.nprobe, r.probe_id, r.cid
+          FROM pc_rank r,
+               (SELECT unnest([1, 2, 4, {_IVF_CELLS}]) AS nprobe) np
+          WHERE r.prn <= np.nprobe),
+        approx AS (
+          SELECT nprobe, probe_id, cand_id FROM (
+            SELECT s.nprobe, s.probe_id, a.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.nprobe, s.probe_id
+                     ORDER BY ROUND(list_dot_product(p.pemb, a.emb)
+                           / (SQRT(list_dot_product(p.pemb, p.pemb))
+                              * SQRT(list_dot_product(a.emb, a.emb))), 6)
+                       DESC, a.vec_id ASC) AS rn
+            FROM swept s
+            JOIN probes p ON p.probe_id = s.probe_id
+            JOIN asg a ON a.cid = s.cid AND a.vec_id <> s.probe_id)
+          WHERE rn <= {_V11_K}),
+        xnp AS (
+          SELECT np.nprobe, x.probe_id, x.cand_id
+          FROM exact x,
+               (SELECT unnest([1, 2, 4, {_IVF_CELLS}]) AS nprobe) np),
+        hits AS (
+          SELECT xnp.nprobe, xnp.probe_id,
+                 COUNT(*) AS n_exact, COUNT(a.cand_id) AS n_hit
+          FROM xnp LEFT JOIN approx a ON a.nprobe = xnp.nprobe
+                            AND a.probe_id = xnp.probe_id
+                            AND a.cand_id = xnp.cand_id
+          GROUP BY xnp.nprobe, xnp.probe_id)
+        SELECT CAST(nprobe AS BIGINT) AS nprobe,
+               CAST(COUNT(*) AS BIGINT) AS n_probes,
+               ROUND(AVG(n_hit * 1.0 / n_exact), 4) AS mean_recall,
+               ROUND(MIN(n_hit * 1.0 / n_exact), 4) AS min_recall
+        FROM hits GROUP BY nprobe ORDER BY nprobe""",
+)
+def v18(spark, sf):
+    """V18 (round 4): IVF nprobe-vs-recall sweep — recall@10 of the V4
+    index at nprobe in {1, 2, 4, 8} against V1's exact top-10, per
+    sweep point the mean AND worst probe [PUB: Jegou, Douze & Schmid
+    TPAMI 2011 — the operating-curve every IVF deployment reads before
+    picking nprobe]. The IVF counterpart of X31's LSH (B, R) calibration:
+    V11 reports recall at ONE operating point, V18 sweeps the knob so
+    the deployment sees where the curve saturates; nprobe = #cells is
+    EXHAUSTIVE search, so its recall is exactly 1.0 — a built-in
+    self-check row pinned in pytest.
+
+    Spark shape: the probe->cell ranking is computed ONCE; the sweep
+    attaches nprobe by EXPLODING a 4-element literal array per ranked row
+    (narrow Generate — no join, no cross product) and filtering
+    rank <= nprobe, so candidate fetch stays the cell-keyed equi-join and
+    every window partitions by (nprobe, probe_id). Rank keys are 6-dp
+    ROUNDED cosines + id tiebreak on BOTH engines (v4/v11's discipline),
+    making the swept top-k sets cross-engine identical."""
+    k = _V11_K
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = e.orderBy("vec_id").limit(_IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(_cos(F.col("emb"), F.col("cemb")), 6)), F.asc("cid")
+    )
+    asg = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cid")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb")
+    )
+    wk = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    exact = (
+        F.broadcast(probes)
+        .join(
+            e.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb2")),
+            F.col("probe_id") != F.col("cand_id"),
+        )
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(_cos(F.col("pemb"), F.col("cemb2")), 6).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "cand_id")
+    )
+    w_pc = Window.partitionBy("probe_id").orderBy(
+        F.desc(F.round(_cos(F.col("pemb"), F.col("cemb")), 6)), F.asc("cid")
+    )
+    pc_rank = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("prn", F.row_number().over(w_pc))
+        .select("probe_id", "cid", "prn")
+    )
+    nprobes = [1, 2, 4, _IVF_CELLS]
+    swept = pc_rank.select(
+        "probe_id",
+        "cid",
+        "prn",
+        F.explode(F.array(*[F.lit(n) for n in nprobes])).alias("nprobe"),
+    ).filter(F.col("prn") <= F.col("nprobe"))
+    wnk = Window.partitionBy("nprobe", "probe_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    approx = (
+        swept.join(probes, "probe_id")
+        .join(asg, "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "nprobe",
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(_cos(F.col("pemb"), F.col("emb")), 6).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wnk))
+        .filter(F.col("rn") <= k)
+        .select("nprobe", "probe_id", F.col("cand_id").alias("a_cand"))
+    )
+    npdf = exact.select(
+        "probe_id",
+        "cand_id",
+        F.explode(F.array(*[F.lit(n) for n in nprobes])).alias("nprobe"),
+    )
+    hits = (
+        npdf.join(
+            approx,
+            (npdf.nprobe == approx.nprobe)
+            & (npdf.probe_id == approx.probe_id)
+            & (npdf.cand_id == approx.a_cand),
+            "left",
+        )
+        .groupBy(npdf.nprobe, npdf.probe_id)
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("a_cand").alias("n_hit"),
+        )
+    )
+    return (
+        hits.groupBy("nprobe")
+        .agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.round(F.avg(F.col("n_hit") / F.col("n_exact")), 4).alias(
+                "mean_recall"
+            ),
+            F.round(F.min(F.col("n_hit") / F.col("n_exact")), 4).alias(
+                "min_recall"
+            ),
+        )
+        .select(F.col("nprobe").cast("long").alias("nprobe"),
+                "n_probes", "mean_recall", "min_recall")
+        .orderBy("nprobe")
+    )

@@ -301,6 +301,16 @@ def test_round4_plan_exemptions(spark, sf_dir):
     # exactly the one intended scalar-combine BNLJ (1-row x 1-row)
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
 
+    # v18 composes v4/v11's intentional broadcast-tiny nested-loop forms
+    # (8-row centroid table x2, 5-probe exact arm); everything else —
+    # the swept candidate fetch included — must stay equi hash joins,
+    # and the nprobe sweep itself is a narrow Generate, not a join
+    plan = _plan(spark, sf_dir, "v18_ivf_nprobe_sweep")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    assert "Generate explode" in plan, plan
+
 
 def test_v11_recall_broadcasts_small_sides(spark, sf_dir):
     """v11's two intentional nested-loop joins must both be broadcast

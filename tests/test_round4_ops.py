@@ -368,3 +368,69 @@ class TestWeightedClustering:
         ).collect()
         for r in rows:
             assert r["wclust"] <= unweighted[r["vid"]] + 1e-9
+
+
+# ---------------------------------------------------------------- V18
+
+
+class TestIvfNprobeSweep:
+    def test_matches_numpy_mirror_and_laws(self, spark, sf_dir):
+        embs = _duck(
+            sf_dir,
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM embeddings "
+            "ORDER BY vec_id",
+        )
+        ids = [r[0] for r in embs]
+        m = np.array([r[1] for r in embs])
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = norm @ norm.T
+        cells = ids[:8]
+        # deterministic coarse assignment: 6-dp rounded cosine, cid tiebreak
+        def assign(i):
+            scores = [(round(cos[i][ids.index(c)], 6), -c) for c in cells]
+            best = max(range(8), key=lambda j: (scores[j][0], scores[j][1]))
+            return cells[best]
+
+        asg = {v: assign(i) for i, v in enumerate(ids)}
+        probes = [v for v in ids if v < 5]
+
+        def topk(i, cand, k=10):
+            scored = sorted(
+                ((round(cos[i][ids.index(c)], 6), -c) for c in cand),
+                reverse=True,
+            )[:k]
+            return {-s[1] for s in scored}
+
+        exact = {p: topk(ids.index(p), [v for v in ids if v != p]) for p in probes}
+
+        def cell_rank(p):
+            i = ids.index(p)
+            return sorted(cells, key=lambda c: (-round(cos[i][ids.index(c)], 6), c))
+
+        want = {}
+        for nprobe in (1, 2, 4, 8):
+            recs = []
+            for p in probes:
+                probe_cells = set(cell_rank(p)[:nprobe])
+                cand = [v for v in ids if v != p and asg[v] in probe_cells]
+                got = topk(ids.index(p), cand)
+                recs.append(len(got & exact[p]) / len(exact[p]))
+            want[nprobe] = (
+                round(sum(recs) / len(recs), 4),
+                round(min(recs), 4),
+            )
+        rows = REGISTRY["v18_ivf_nprobe_sweep"]["spark"](
+            spark, sf_dir
+        ).collect()
+        assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+        for r in rows:
+            assert r["n_probes"] == len(probes)
+            wm, wmin = want[r["nprobe"]]
+            assert r["mean_recall"] == pytest.approx(wm, abs=1e-9)
+            assert r["min_recall"] == pytest.approx(wmin, abs=1e-9)
+        # laws: recall non-decreasing in nprobe; nprobe == #cells is
+        # exhaustive search -> recall exactly 1.0 (the self-check row)
+        means = [r["mean_recall"] for r in rows]
+        assert means == sorted(means)
+        assert rows[-1]["mean_recall"] == 1.0
+        assert rows[-1]["min_recall"] == 1.0
