@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -817,7 +818,17 @@ def run_decade() -> None:
         os.environ.get("PCD_DECADE_TMP", "/tmp"),
         f"pcd_decade_graph_{edges_n}.parquet",
     )
-    if not os.path.exists(gpath):
+    # reuse only a COMPLETE graph: Spark writes _SUCCESS last, so a parquet
+    # dir without it is a partial write from a crashed/killed generator —
+    # silently reusing it would corrupt every subsequent measurement
+    # (ADVICE r4). Generation goes to a temp dir + atomic rename so a crash
+    # mid-gen can never leave gpath itself half-written.
+    if not os.path.exists(os.path.join(gpath, "_SUCCESS")):
+        if os.path.exists(gpath):
+            print(f"# removing partial graph dir {gpath} (no _SUCCESS)",
+                  file=sys.stderr)
+            shutil.rmtree(gpath)
+        tmp_gpath = gpath + f".tmp-{os.getpid()}"
         # generate in a SUBPROCESS: SparkSession.stop() stops the context
         # but the py4j gateway JVM lives as long as the python parent —
         # an in-process gen here left a ~30 GB idle JVM squeezing the
@@ -833,16 +844,20 @@ def run_decade() -> None:
             "spark.sparkContext.setLogLevel('ERROR')\n"
             f"powerlaw_edges(spark, {edges_n}//10, {edges_n}, alpha=2.0, "
             f"num_parts={SCALING_PARTS}).write.mode('overwrite')"
-            f".parquet({gpath!r})\n"
+            f".parquet({tmp_gpath!r})\n"
         )
         p = subprocess.run(
             [sys.executable, "-c", code],
             cwd=os.path.dirname(os.path.abspath(__file__)),
             capture_output=True, text=True,
         )
-        if p.returncode != 0:
+        if p.returncode != 0 or not os.path.exists(
+            os.path.join(tmp_gpath, "_SUCCESS")
+        ):
+            shutil.rmtree(tmp_gpath, ignore_errors=True)
             print(f"GEN FAILED: {p.stderr[-500:]}", file=sys.stderr)
             raise SystemExit(1)
+        os.replace(tmp_gpath, gpath)  # atomic commit of the complete graph
         print(f"# generated {edges_n:,} edges in {time.time()-t0:.0f}s",
               file=sys.stderr)
 
@@ -872,10 +887,22 @@ def run_decade() -> None:
             runs[cores].append(json.loads(lines[-1]))
             print(f"# done cores={cores} rep={rep}", file=sys.stderr)
 
+    # hard guard (ADVICE r4): with zero surviving runs at ANY level the
+    # decade result is meaningless — abort with a clear message instead of
+    # letting next() raise bare StopIteration or formatting NaN into
+    # BENCH/BASELINE.md as if it were a measurement.
+    empty = [c for c in levels if not runs.get(c)]
+    if empty:
+        print(
+            f"DECADE ABORTED: no successful runs at local{empty} — "
+            "every scaling worker at those levels failed (see WORKER "
+            "FAILED lines above); nothing written to BENCH/BASELINE.md",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+
     def best(cores: int) -> float:
-        rr = runs.get(cores) or []
-        if not rr:
-            return float("nan")
+        rr = runs[cores]
         n = min(len(r["pagerank"]["step_secs"]) for r in rr)
         return sum(
             min(r["pagerank"]["step_secs"][i] for r in rr) for i in range(n)

@@ -215,6 +215,12 @@ def onion_layers(
        Result-identical — the rule is a deterministic pure function of
        integer degrees; equality is pinned in tests. Set
        small_graph_cutoff=0 to force the distributed path.
+       DRIVER-MEMORY NOTE: the collapse collects up to `small_graph_cutoff`
+       edge Rows and builds a Python adjacency dict on the driver — at the
+       2M default that is a few hundred MB transient, sized for this repo's
+       32g driver. Library callers on small drivers (<4g) should pass
+       small_graph_cutoff≈200_000 (the generic class rule) or scale it to
+       ~edges_per_GB ≈ 60k × driver-memory-GB.
     2. TAIL COLLAPSE in the distributed path: the remaining-subgraph edge
        count (sum of live degrees / 2 — free on the batch Observation)
        falls monotonically, and once it is <= the cutoff the rest of the
@@ -431,11 +437,18 @@ def onion_layers(
         # advanced exactly `sum(n > 0)` real layers; `core >= mdeg` at
         # entry guarantees the FIRST sub-layer peels the min-degree vertex,
         # so progress (advanced >= 1) and termination are unconditional.
+        # RuntimeError, not assert: these two invariants are the layer
+        # accounting's only correctness guard, and assert is stripped under
+        # `python -O` — a future edit breaking the frozen-core invariant
+        # must fail loudly, not silently mislabel layers (ADVICE r4).
         advanced = sum(1 for n in peels if n > 0)
-        assert advanced >= 1, "onion batch made no progress"
-        assert all(
-            n > 0 for n in peels[:advanced]
-        ), "onion no-op lemma violated: empty sub-layer before a non-empty one"
+        if advanced < 1:
+            raise RuntimeError("onion batch made no progress")
+        if not all(n > 0 for n in peels[:advanced]):
+            raise RuntimeError(
+                "onion no-op lemma violated: empty sub-layer before a "
+                "non-empty one"
+            )
         layer += advanced
     else:
         if nv != 0:

@@ -150,13 +150,25 @@ def run_supersteps(
                 and getattr(m, "graph_token", None) is not None
                 and m.graph_token != graph_token
                 and resume_fix is None
+                # legacy-format acceptance (ADVICE r4): stores written
+                # before the cohort digest was folded into the token carry
+                # only the leading "edges=N" segment — accept them when
+                # that segment matches (same graph; the cohort cannot be
+                # cross-checked on a pre-digest store, which is exactly the
+                # old behavior those stores were written under).
+                and m.graph_token != graph_token.split(";", 1)[0]
             ):
                 raise ValueError(
                     f"run_supersteps: checkpoint iter={m.iteration} was "
                     f"written for graph [{m.graph_token}] but this run is "
                     f"on graph [{graph_token}] — state cannot be re-"
                     "anchored for this algorithm; rerun with resume=False "
-                    "or a fresh run_id"
+                    "or a fresh run_id. (If the stored token matches but "
+                    "lacks the trailing srcs=/lms= cohort segment, it is a "
+                    "pre-cohort-digest store and is accepted as legacy; a "
+                    "mismatched cohort digest on the SAME graph means the "
+                    "store was written for a different source/landmark set "
+                    "— delete the store or use a fresh run_id.)"
                 )
             state = store.read_state(init_state.sparkSession, m.iteration)
             if resume_fix is not None:

@@ -2102,6 +2102,26 @@ def k59(spark, sf):
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("w"))
     )
+    return disparity_backbone(pairs).orderBy("src", "dst")
+
+
+def disparity_backbone(pairs, cutoff: float = 0.05):
+    """Serrano et al. 2009 disparity-filter core over a canonical weighted
+    edge table (src < dst, columns src/dst/w). Returns (src, dst, weight,
+    alpha_src, alpha_dst) for edges significant from either endpoint,
+    unordered. Validates w > 0 on entry (shortest_paths discipline,
+    ADVICE r5): a zero/negative weight makes a vertex strength s <= 0
+    possible, and w/s then divides by zero inside the null model —
+    fail loudly instead. The eager localCheckpoint both materializes the
+    validated table and stops the THREE downstream references (symmetrize,
+    alpha join, weight join-back) from recomputing the upstream agg."""
+    pairs = pairs.localCheckpoint(eager=True)
+    minw = pairs.agg(F.min("w")).first()[0]
+    if minw is not None and minw <= 0:
+        raise ValueError(
+            f"disparity_backbone requires positive edge weights; "
+            f"min(w) = {minw}"
+        )
     sym = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
@@ -2123,11 +2143,10 @@ def k59(spark, sf):
     return (
         fwd.join(bwd, ["src", "dst"])
         .filter(F.col("src") < F.col("dst"))
-        .filter(F.least("alpha_src", "alpha_dst") < 0.05)
+        .filter(F.least("alpha_src", "alpha_dst") < F.lit(cutoff))
         .join(pairs.select("src", "dst", F.col("w").cast("long").alias("weight")),
               ["src", "dst"])
         .select("src", "dst", "weight", "alpha_src", "alpha_dst")
-        .orderBy("src", "dst")
     )
 
 
@@ -2167,8 +2186,6 @@ def k60(spark, sf):
     ROUND'd 6 AFTER the ratio (single-expression moments, the d12
     discipline); presentation order by burstiness then pair."""
     li, o = load(spark, sf, "lineitem"), load(spark, sf, "orders")
-    from pyspark.sql import Window
-
     inter = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -2178,6 +2195,23 @@ def k60(spark, sf):
         )
         .distinct()
     )
+    return edge_burstiness(inter).orderBy(
+        F.desc("burstiness"), "src", "dst"
+    ).limit(200)
+
+
+def edge_burstiness(inter):
+    """Goh-Barabasi burstiness core over a DISTINCT (src, dst, t) event
+    table. Returns (src, dst, n_events, burstiness), unordered.
+
+    DOCUMENTED CONTRACT (guard-tested, ADVICE r5): a pair with fewer than
+    3 distinct event times is DROPPED, not emitted with a null/degenerate
+    score — 2 events give a single gap, sigma_pop is 0 by construction and
+    B = -1 would claim "perfectly periodic" from one observation. mu > 0
+    is guaranteed when the input really is distinct times; the filter also
+    drops duplicate-timestamp degeneracies (mu = 0) defensively."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("src", "dst").orderBy("t")
     gaps = inter.select(
         "src", "dst", (F.col("t") - F.lag("t").over(w)).alias("gap")
@@ -2187,19 +2221,14 @@ def k60(spark, sf):
         F.avg("gap").alias("mu"),
         F.stddev_pop("gap").alias("sigma"),
     )
-    return (
-        stats.filter((F.col("n_gaps") >= 2) & (F.col("mu") > 0))
-        .select(
-            "src",
-            "dst",
-            (F.col("n_gaps") + 1).cast("long").alias("n_events"),
-            F.round(
-                (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")),
-                6,
-            ).alias("burstiness"),
-        )
-        .orderBy(F.desc("burstiness"), "src", "dst")
-        .limit(200)
+    return stats.filter((F.col("n_gaps") >= 2) & (F.col("mu") > 0)).select(
+        "src",
+        "dst",
+        (F.col("n_gaps") + 1).cast("long").alias("n_events"),
+        F.round(
+            (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")),
+            6,
+        ).alias("burstiness"),
     )
 
 
@@ -2267,12 +2296,17 @@ def k61(spark, sf):
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    # eager localCheckpoint, not persist: the returned plan still references
+    # we (via canon), so an in-function persist could never be unpersisted —
+    # it leaked cached blocks for the session lifetime (x14/bipartite
+    # precedent; ContextCleaner frees checkpoint blocks when the caller
+    # drops the result).
     we = (
         a.join(b, "k")
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("w"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     max_w = we.agg(F.max("w")).first()[0]  # O(1) scalar, k37 precedent
     canon = we.select("src", "dst", (F.col("w") / F.lit(max_w)).alias("nw"))

@@ -1075,17 +1075,26 @@ def i9b(spark, sf):
     # interval). Batch plans the same thing as an equi-join on user_id with
     # the time range as a post-join filter — no theta explosion.
     e = load(spark, sf, "events")
-    a = e.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id"),
-        F.col("ts").alias("click_ts"),
+    # Both sides derive from the same `events` scan; explicit string aliases
+    # keep Catalyst from resolving the equi-key predicate against a single
+    # lineage (the "trivially true" self-join warning class).
+    a = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .alias("clk")
     )
-    b = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts"), "value"
+    b = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "value")
+        .alias("pur")
     )
     j = a.join(
         b,
-        (a["user_id"] == b["user_id"])
+        (F.col("clk.user_id") == F.col("pur.user_id"))
         & (F.col("p_ts") >= F.col("click_ts"))
         & (F.col("p_ts") < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
         "left",

@@ -2184,14 +2184,18 @@ def v11(spark, sf):
         .filter(F.col("rn") <= k)
         .select("probe_id", F.col("cand_id").alias("a_cand"))
     )
+    # Both arms share the embeddings-scan lineage; explicit string aliases
+    # make the equi-key predicates resolve cross-frame (kills the Catalyst
+    # "trivially true" self-join warning).
+    ex, ap = exact.alias("ex"), approx.alias("ap")
     return (
-        exact.join(
-            approx,
-            (exact.probe_id == approx.probe_id)
-            & (exact.cand_id == approx.a_cand),
+        ex.join(
+            ap,
+            (F.col("ex.probe_id") == F.col("ap.probe_id"))
+            & (F.col("ex.cand_id") == F.col("ap.a_cand")),
             "left",
         )
-        .select(exact.probe_id.alias("probe_id"), "cand_id", "a_cand")
+        .select(F.col("ex.probe_id").alias("probe_id"), "cand_id", "a_cand")
         .groupBy("probe_id")
         .agg(
             F.count("*").cast("long").alias("n_exact"),
@@ -3712,7 +3716,7 @@ def v17(spark, sf):
                ROUND(MIN(n_hit * 1.0 / n_exact), 4) AS min_recall
         FROM hits GROUP BY nprobe ORDER BY nprobe""",
 )
-def v18(spark, sf):
+def v18(spark, sf, nprobes=(1, 2, 4, _IVF_CELLS)):
     """V18 (round 4): IVF nprobe-vs-recall sweep — recall@10 of the V4
     index at nprobe in {1, 2, 4, 8} against V1's exact top-10, per
     sweep point the mean AND worst probe [PUB: Jegou, Douze & Schmid
@@ -3730,6 +3734,16 @@ def v18(spark, sf):
     every window partitions by (nprobe, probe_id). Rank keys are 6-dp
     ROUNDED cosines + id tiebreak on BOTH engines (v4/v11's discipline),
     making the swept top-k sets cross-engine identical."""
+    # guard (ADVICE r5): nprobe beyond the cell count is a caller bug —
+    # prn <= nprobe would silently behave as exhaustive search (numpy-style
+    # clamp), mislabeling the sweep row. nprobe == _IVF_CELLS IS the
+    # legitimate exhaustive self-check row; anything above it raises.
+    nprobes = [int(n) for n in nprobes]
+    if not nprobes or min(nprobes) < 1 or max(nprobes) > _IVF_CELLS:
+        raise ValueError(
+            f"v18: nprobes must be within [1, {_IVF_CELLS}] (= #cells; the "
+            f"top value is the exhaustive row), got {nprobes}"
+        )
     k = _V11_K
     e = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -3776,7 +3790,6 @@ def v18(spark, sf):
         .withColumn("prn", F.row_number().over(w_pc))
         .select("probe_id", "cid", "prn")
     )
-    nprobes = [1, 2, 4, _IVF_CELLS]
     swept = pc_rank.select(
         "probe_id",
         "cid",
@@ -3805,15 +3818,19 @@ def v18(spark, sf):
         "cand_id",
         F.explode(F.array(*[F.lit(n) for n in nprobes])).alias("nprobe"),
     )
+    # Same-lineage frames (both arms read the embeddings scan); explicit
+    # string aliases keep the three equi-key predicates cross-frame and
+    # silence the Catalyst "trivially true" self-join warning.
+    npx, apx = npdf.alias("npx"), approx.alias("apx")
     hits = (
-        npdf.join(
-            approx,
-            (npdf.nprobe == approx.nprobe)
-            & (npdf.probe_id == approx.probe_id)
-            & (npdf.cand_id == approx.a_cand),
+        npx.join(
+            apx,
+            (F.col("npx.nprobe") == F.col("apx.nprobe"))
+            & (F.col("npx.probe_id") == F.col("apx.probe_id"))
+            & (F.col("npx.cand_id") == F.col("apx.a_cand")),
             "left",
         )
-        .groupBy(npdf.nprobe, npdf.probe_id)
+        .groupBy(F.col("npx.nprobe"), F.col("npx.probe_id"))
         .agg(
             F.count("*").alias("n_exact"),
             F.count("a_cand").alias("n_hit"),

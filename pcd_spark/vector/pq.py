@@ -180,6 +180,15 @@ def ivfpq_topk(
     (P · nprobe · m · k) LUT tensor — kilobytes; vectors never shuffle,
     only (id, cell, codes) rows do.
     """
+    # guard (ADVICE r5): nprobe > ncells would silently clamp at the numpy
+    # argsort slice below, making the "approximate" search exhaustive while
+    # reporting the requested nprobe — raise instead (nprobe == ncells is
+    # legitimate exhaustive search).
+    if not 1 <= nprobe <= ncells:
+        raise ValueError(
+            f"ivfpq_topk: nprobe must be within [1, ncells={ncells}], "
+            f"got {nprobe}"
+        )
     pts = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("emb"),
