@@ -71,66 +71,77 @@ _ALL: dict = {**_CORE, **_TEXT, **_GRAPH}
 # (ArrowEval UDF) with j2's multimodal digest preflight-covered, X keeps
 # 8 reps incl. x24, V keeps v4/v8/v9/v11, M keeps m3, K keeps 14 incl.
 # k40/k41. Rows-only k42/k43/v10 stay outside (golden-hashed instead).
+# Window policy (round 5, freshness rotation — VERDICT r4 #5), same rule:
+# the artifact's oldest rows re-verify. Twelve of the 34 entries whose only
+# driver-green row is from ROUND 1 (b2, b4, c2, c7, d2, d4, e2, e4, g2, h5,
+# h7, i2 — all preflight-green every round since, but the artifact freshness
+# matters as code evolves) re-enter the window, plus v11 (its self-lineage
+# join was re-aliased this round — changed queries go in-window). They take
+# the slots of thirteen unchanged-since-green r04 entries (x24-x29, x31,
+# v12, v15, v16, k52, k53, k54 — every one r04-driver-green, code untouched
+# this round, hash-matched by preflight + the all-entries pytest mirror).
+# The round-5-changed queries i9, v18, k59, k60, k61 are already in-window
+# for re-verification. Family reps retained: B keeps b1/b2/b4, C keeps
+# c2/c7/c11, D keeps d2/d4/d11/d12/d15, E keeps e2/e4/e6, G keeps g2/g5,
+# H keeps h1/h5/h7, I keeps i2/i9/i10, X keeps 7 incl. x33/x34, V keeps
+# v9/v11/v17/v18, K keeps 15.
 _PRIORITY = [
-    # B. projection / filters (b2..b5 -> round-1 green, pytest mirror)
-    "b1_project_cast",
-    # C. joins (broadcast/SHJ/theta/range/as-of and the c12-c14 subquery
+    # B. projection / filters (b3/b5 -> round-1 green, pytest mirror)
+    "b1_project_cast", "b2_filter_range", "b4_bool_combinators",
+    # C. joins (SHJ/outer/semi/anti/range/as-of and the c12-c14 subquery
     # surface -> driver-green, pytest mirror)
-    "c11_null_safe_join",
-    # D. aggregation (d2/d3/d4/d13/d14 -> driver-green, pytest mirror)
+    "c2_join_broadcast_dims", "c7_self_join_theta", "c11_null_safe_join",
+    # D. aggregation (d3/d13/d14 -> driver-green, pytest mirror)
+    "d2_global_agg", "d4_count_distinct",
     "d11_group_percentiles", "d12_grouped_stats", "d15_heavy_hitters",
-    # E. windows (e1..e5/e7/e8 -> driver-green, pytest mirror)
-    "e6_ntile_percent_rank",
+    # E. windows (e1/e3/e5/e7/e8 -> driver-green, pytest mirror)
+    "e2_dense_rank", "e4_lag_delta", "e6_ntile_percent_rank",
     # F. sort / limit / top-k (f2/f3 -> driver-green, pytest mirror)
     "f1_global_sort",
-    # G. set ops (g1..g4 -> driver-green, pytest mirror)
-    "g5_bag_set_ops",
+    # G. set ops (g1/g3/g4 -> driver-green, pytest mirror)
+    "g2_intersect", "g5_bag_set_ops",
     # H. scalar function families + generators (h11/h12 -> r03-green)
-    "h1_sha256",
-    # I. streaming batch twins; i10 re-enters for driver re-verification of
-    # this round's dimension-side aliasing fix
+    "h1_sha256", "h5_date_functions", "h7_array_functions",
+    # I. streaming batch twins; i9 re-enters changed (self-lineage join
+    # re-aliased round 5)
+    "i2_tumbling_window_batch",
     "i9_interval_join_batch", "i10_stream_static_join_batch",
-    # X. dedup / text analysis / data quality (x1/x2/x4/x9/x11/x12/x17/
-    # x20/x22/x23 -> driver-green, pytest mirror; x10 is the composite
-    # LSH -> connected-components dedup-clustering showcase; x8/x28-x32
-    # enter for their first driver row)
+    # X. dedup / text analysis / data quality (x24..x29/x31 -> r04-green,
+    # rotated out unchanged; x10 is the composite LSH -> CC showcase)
     "x8_fingerprint", "x10_neardup_clusters",
     "x14_dedup_keep_best",
-    "x24_shared_spans", "x25_lm_quality", "x26_segment_dedup_rewrite",
-    "x27_source_mixing", "x28_curation_pipeline",
-    "x29_chunk_documents", "x30_semantic_decontamination",
-    "x31_lsh_calibration", "x32_source_caps",
+    "x30_semantic_decontamination", "x32_source_caps",
     "x33_winnowing_fingerprints", "x34_zipf_fit",
-    # V. similarity search (v1/v2/v3 -> driver-green, pytest mirror;
-    # v12/v16/v17 enter for their first driver row)
-    "v9_sq8_topk", "v12_knn_graph",
-    "v15_hamming_topk", "v16_kcenter_coreset", "v17_embedding_audit",
-    # v18 (round-4 late): IVF nprobe sweep — takes r03-green v8's slot
-    # (cosine range unchanged since its green row; V keeps 6 reps)
+    # V. similarity search (v12/v15/v16 -> r04-green, rotated out
+    # unchanged; v11 + v18 re-enter changed — round-5 join re-aliasing)
+    "v9_sq8_topk", "v11_ann_recall", "v17_embedding_audit",
     "v18_ivf_nprobe_sweep",
     # M. multimodal
     "m3_frame_sample",
     # K. graph (SQL-oracled rows; iterative k3/k5/k8/k10/k13+ are
-    # numpy/networkx-pinned; k1/k6/k11/k12/k16/k19/k35/k36/k37 ->
-    # driver-green, pytest mirror; k41/k52-k57 enter for their first
-    # driver row)
+    # numpy/networkx-pinned; k52/k53/k54 -> r04-green, rotated out
+    # unchanged; k59/k60/k61 re-enter changed — round-5 guard extraction
+    # + cache-leak fix)
     "k4_connected_components", "k20_scc",
     "k31_conductance",
     "k33_condensation_levels", "k34_two_hop_reach",
     "k38_scan_similarity", "k39_triad_motifs",
     "k40_partition_agreement", "k41_rich_club",
-    "k52_burt_constraint", "k53_clique_percolation",
-    "k54_temporal_reachability", "k55_closeness",
+    "k55_closeness",
     "k56_double_sweep", "k57_landmark_estimate",
     "k59_disparity_backbone", "k60_edge_burstiness",
-    # k61 (round-4 late): weighted clustering — takes r03-green k28's
-    # slot (butterflies unchanged since its green row; K keeps 18 reps)
     "k61_weighted_clustering",
     # ---- position 51+: registered, pytest-oracled, outside driver window ----
     # (rotated out or never in: every entry here is hash-matched by the
     # all-entries pytest mirror and scripts/preflight.py --all each round)
     "x19_source_quality_gate", "x21_word_entropy",
-    "v11_ann_recall", "v13_matryoshka_rerank", "k26_bipartite_projection",
+    "x24_shared_spans", "x25_lm_quality", "x26_segment_dedup_rewrite",
+    "x27_source_mixing", "x28_curation_pipeline", "x29_chunk_documents",
+    "x31_lsh_calibration",
+    "v12_knn_graph", "v15_hamming_topk", "v16_kcenter_coreset",
+    "k52_burt_constraint", "k53_clique_percolation",
+    "k54_temporal_reachability",
+    "v13_matryoshka_rerank", "k26_bipartite_projection",
     "k28_butterflies", "v8_cosine_range",
     "c12_exists_subquery", "c13_not_in_subquery", "c14_scalar_subquery",
     "d13_pivot", "d14_unpivot", "e7_sessionization", "e8_cume_dist",
@@ -157,17 +168,16 @@ _PRIORITY = [
     "x13_pii_scrub", "x15_split_assignment",
     "x16_cross_doc_chunks", "x18_quality_downsample",
     "k9_modularity", "k17_assortativity",
-    "b2_filter_range", "b3_filter_in_null_like",
-    "b4_bool_combinators", "b5_conditional_projection",
-    "c2_join_broadcast_dims", "c3_join_shuffle_hash_hint",
+    "b3_filter_in_null_like", "b5_conditional_projection",
+    "c3_join_shuffle_hash_hint",
     "c4_join_left_outer", "c5_join_left_semi",
-    "c6_join_left_anti", "c7_self_join_theta", "c8_range_join",
-    "d2_global_agg", "d3_distinct", "d4_count_distinct",
+    "c6_join_left_anti", "c8_range_join",
+    "d3_distinct",
     "d5_approx_count_distinct", "d9b_cube",
-    "e2_dense_rank", "e3_topk_per_group", "e4_lag_delta", "e5_moving_avg",
-    "g2_intersect", "g3_except", "h3_string_basics", "h5_date_functions",
-    "h6_math", "h7_array_functions", "h8_higher_order_dot",
-    "h10_json", "i2_tumbling_window_batch",
+    "e3_topk_per_group", "e5_moving_avg",
+    "g3_except", "h3_string_basics",
+    "h6_math", "h8_higher_order_dot",
+    "h10_json",
     "m2_blob_features", "x3_minhash_lsh_buckets", "x5_token_count", "x6_quality_score",
     "x7_langid_heuristic",
     "v5_kmeans_clusters", "v6_pq_topk", "v7_ivfpq_topk",
