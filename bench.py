@@ -822,8 +822,18 @@ def run_scaling() -> None:
         for i, r in enumerate(runs[c]):
             lines.append(f"Raw local[{c}] rep{i}: `{json.dumps(r)}`")
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+    # APPEND when the report already exists: BASELINE.md accumulates
+    # round-over-round sections (k51 rework, decade validation, ...) that a
+    # truncating rewrite silently destroyed once (round 5, recovered from
+    # git). A fresh run becomes a dated re-measurement section; only the
+    # very first run writes the file header.
+    if os.path.exists("BENCH/BASELINE.md"):
+        lines[0] = "## Scaling re-measurement (appended run)"
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write("\n" + "\n".join(lines) + "\n")
+    else:
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write("\n".join(lines) + "\n")
     print(json.dumps({"scaling_efficiency": effs}))
 
 
