@@ -494,9 +494,136 @@ def _local_move_py(
     stats: dict | None = None,
     init: dict | None = None,
 ) -> dict:
-    """Driver mirror of _local_move_phase: synchronous class-gated rounds,
-    decisions from the pre-round state, ties to the smallest candidate
-    community, quiet for a full cycle => converged."""
+    """Driver mirror of _local_move_phase — vectorized (round 5).
+
+    Dispatches to the numpy round loop below; the pure-Python reference
+    loop is kept as _local_move_py_ref and pinned bit-equal in
+    tests/test_round5_guards.py. Bit-equality argument (the same one that
+    justifies the collapse itself): the mirror only runs on INTEGER-valued
+    weights, so every sum (kin histograms, sigma totals) is reorder-exact
+    in float64, and both forms evaluate the identical score expression
+    `kin - k*sigma/total` on identical operands — the comparisons and the
+    (max score, smallest community) tie rule therefore agree exactly.
+    Measured at sf0.1 level 0 (20k vertices, 2.4M directed entries, 40
+    rounds): 46 s loop -> ~2 s vectorized."""
+    try:
+        import numpy as np  # noqa: F401
+    except ImportError:  # pragma: no cover - numpy is baked into this env
+        return _local_move_py_ref(
+            nbrs, k, total, gates, max_rounds, n_classes, stats, init
+        )
+    return _local_move_np(
+        nbrs, k, total, gates, max_rounds, n_classes, stats, init
+    )
+
+
+def _local_move_np(
+    nbrs: dict,
+    k: dict,
+    total: float,
+    gates: dict,
+    max_rounds: int,
+    n_classes: int,
+    stats: dict | None = None,
+    init: dict | None = None,
+) -> dict:
+    """Numpy form of the reference loop: per round, one flat gather of
+    active-vertex neighbor labels, one (vertex, label) group-sum for the
+    kin histograms, one vectorized score compare, one lexsort argmax for
+    the (max score, smallest community) rule, then a synchronous batched
+    apply — exactly the ref loop's decision set each round (pinned)."""
+    import numpy as np
+
+    verts = sorted(k)  # order-preserving: smallest index == smallest vid
+    V = len(verts)
+    vidx = {v: i for i, v in enumerate(verts)}
+    kv = np.array([float(k[v]) for v in verts])
+
+    esrc = np.fromiter(
+        (vidx[v] for v in verts for _ in nbrs.get(v, ())),
+        dtype=np.int64,
+    )
+    edst = np.fromiter(
+        (vidx[n] for v in verts for n, _ in nbrs.get(v, ())),
+        dtype=np.int64,
+    )
+    ew = np.fromiter(
+        (float(w) for v in verts for _, w in nbrs.get(v, ())),
+        dtype=np.float64,
+    )
+
+    init_vals = (
+        [init[v] for v in verts] if init is not None else list(verts)
+    )
+    # label universe: a vertex only ever moves to a NEIGHBOR's current
+    # community, so the label set never leaves the initial one. np.unique
+    # sorts ascending -> smallest dense index == smallest raw label, which
+    # preserves the tie rule.
+    all_labels, comm = np.unique(np.asarray(init_vals, dtype=np.int64),
+                                 return_inverse=True)
+    L = len(all_labels)
+    sigma = np.zeros(L)
+    np.add.at(sigma, comm, kv)
+
+    cycles = (max_rounds + n_classes - 1) // n_classes
+    gate_arr = np.array([gates[v][:cycles] for v in verts], dtype=np.int64)
+
+    quiet = 0
+    rounds = 0
+    for rnd in range(max_rounds):
+        active = rnd % n_classes
+        cycle = rnd // n_classes
+        em = (gate_arr[:, cycle] == active)[esrc]
+        s_i, l_i, w_i = esrc[em], comm[edst[em]], ew[em]
+        key = s_i * L + l_i
+        uk, inv = np.unique(key, return_inverse=True)
+        kin = np.bincount(inv, weights=w_i)
+        g_s, g_l = uk // L, uk % L
+        own = comm[g_s]
+        own_kin = np.zeros(V)
+        m_own = g_l == own
+        own_kin[g_s[m_own]] = kin[m_own]
+        # own_score per vertex (0.0 when the own community is absent from
+        # the neighbor histogram — kin.get(own_c, 0.0) in the ref loop)
+        os_v = own_kin - kv * (sigma[comm] - kv) / total
+        sc = kin - kv[g_s] * sigma[g_l] / total
+        cand = (~m_own) & (sc > os_v[g_s] + _EPS)
+        cs, csc, cl = g_s[cand], sc[cand], g_l[cand]
+        if len(cs):
+            order = np.lexsort((cl, -csc, cs))
+            cs_o = cs[order]
+            first = np.ones(len(cs_o), dtype=bool)
+            first[1:] = cs_o[1:] != cs_o[:-1]
+            mv_v = cs_o[first]
+            mv_l = cl[order][first]
+        else:
+            mv_v = mv_l = np.empty(0, dtype=np.int64)
+        if len(mv_v):
+            np.add.at(sigma, comm[mv_v], -kv[mv_v])
+            np.add.at(sigma, mv_l, kv[mv_v])
+            comm[mv_v] = mv_l
+        rounds = rnd + 1
+        quiet = quiet + 1 if len(mv_v) == 0 else 0
+        if quiet >= n_classes:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    return {v: int(all_labels[comm[i]]) for i, v in enumerate(verts)}
+
+
+def _local_move_py_ref(
+    nbrs: dict,
+    k: dict,
+    total: float,
+    gates: dict,
+    max_rounds: int,
+    n_classes: int,
+    stats: dict | None = None,
+    init: dict | None = None,
+) -> dict:
+    """Pure-Python reference of the driver mirror: synchronous class-gated
+    rounds, decisions from the pre-round state, ties to the smallest
+    candidate community, quiet for a full cycle => converged."""
     comm = dict(init) if init is not None else {v: v for v in k}
     sigma: dict = {}
     for v, kv in k.items():

@@ -177,3 +177,59 @@ class TestLegacyGraphTokenMigration:
             ).collect()
         }
         assert got == want
+
+
+# ---------------------------------------------------------------- louvain np
+
+
+class TestLocalMoveVectorized:
+    def test_numpy_form_bit_equals_reference_loop(self, spark):
+        """Round 5 vectorized the Leiden/Louvain driver-mirror local move.
+        The numpy form must reproduce the pure-Python reference loop's
+        label assignment EXACTLY — same rounds, same labels — on graphs
+        with hubs, ties, and weighted multi-edges, under the real Spark
+        xxhash64 gates and a non-trivial init partition (the aggregate-
+        level P_init path)."""
+        import networkx as nx
+
+        from pcd_spark.graph.louvain import (
+            _adj_maps,
+            _collect_gates,
+            _local_move_np,
+            _local_move_py_ref,
+        )
+
+        max_rounds, n_classes = 20, 2
+        cycles = (max_rounds + n_classes - 1) // n_classes
+
+        cases = []
+        g1 = nx.barabasi_albert_graph(300, 3, seed=7)
+        cases.append(("ba", {(u, v): 1.0 for u, v in g1.edges()}, None))
+        g2 = nx.gnm_random_graph(200, 800, seed=11)
+        # integer multiplicities (the co-occurrence weight shape)
+        w2 = {(u, v): float((u * 7 + v) % 5 + 1) for u, v in g2.edges()}
+        cases.append(("er-weighted", w2, None))
+        # init partition: vertices pre-grouped by decade (macro-seeded)
+        init2 = {v: (v // 10) * 10 for v in g2.nodes()}
+        cases.append(("er-init", w2, init2))
+
+        for name, und, init in cases:
+            edges = {}
+            for (u, v), w in und.items():
+                edges[(u, v)] = edges.get((u, v), 0.0) + w
+                edges[(v, u)] = edges.get((v, u), 0.0) + w
+            nbrs, k = _adj_maps(edges.items())
+            total = sum(edges.values())
+            gates = _collect_gates(spark, list(k), n_classes, cycles)
+            st_a: dict = {}
+            st_b: dict = {}
+            ref = _local_move_py_ref(
+                nbrs, k, total, gates, max_rounds, n_classes,
+                stats=st_a, init=init,
+            )
+            vec = _local_move_np(
+                nbrs, k, total, gates, max_rounds, n_classes,
+                stats=st_b, init=init,
+            )
+            assert st_a["rounds"] == st_b["rounds"], name
+            assert {v: int(l) for v, l in ref.items()} == vec, name
